@@ -1,0 +1,57 @@
+"""Engine configuration dataclasses.
+
+Hyperparameter defaults follow the reference's deployed production fly
+(ref: web_map/pod_starter/fly/fly.m — kc_size=7076, wta=10, projection
+7076x20000; loaded at web_map/pod_starter/hash_pod.py:132-134) and the pod
+hashing CLI defaults (top_words=250 at web_map/pod_starter/hash_pod.py:42,
+logprob power 3 at fruit_fly/hash.py:51). Test fixtures shrink KC to 64 so a
+signature fits one 64-bit word.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class FlyConfig:
+    """Fruit-fly hashing hyperparameters."""
+
+    pn_size: int = 2000          # vocabulary size (PN layer); 20000 in prod
+    kc_size: int = 64            # Kenyon-cell count; 7076 in prod
+    proj_size: int = 8           # PNs wired into each KC
+    top_words: int = 250         # doc-side WTA absolute k (hash_pod.py:42)
+    wta_percent: float = 10.0    # KC-side WTA, percent of KCs kept
+    logprob_power: float = 3.0   # weight = (-logprob) ** power (hash.py:51)
+    seed: int = 7                # projection-matrix RNG seed
+
+    @property
+    def sig_words(self) -> int:
+        """64-bit words per packed signature."""
+        return (self.kc_size + 63) // 64
+
+    @property
+    def wta_k(self) -> int:
+        """Absolute KC count kept by the KC-side WTA (hash.py:104)."""
+        return max(1, int(self.wta_percent * self.kc_size / 100))
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """Okapi BM25 parameters — pinned by BASELINE.json north_rule."""
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class PostingsConfig:
+    """Inverted-index layout parameters."""
+
+    block_size: int = 128        # docs per block-max block
+    num_partitions: int = 32     # term partitions (term_bucket count)
+    skew_df_threshold: int = 100_000  # df above which a term is salted
+    max_docs_per_subpartition: int = 1_000_000  # salt splitting granularity
+
+
+INGEST_MIN_CHARS = 1000  # ref: common_crawl_processor/cc_process_wet.py:77

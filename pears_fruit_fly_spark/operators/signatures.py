@@ -1,0 +1,134 @@
+"""Signature build: the zero-shuffle featurize-and-hash path.
+
+Plan shape (SURVEY.md §3.1 Spark mapping):
+
+    scan web.pages → filter (pushed down) → mapInPandas(fused fly kernel)
+    → write web.signatures
+
+No shuffle anywhere on this path; throughput is bound by the per-batch BLAS
+matmul, exactly like the reference's 2000-row chunks
+(ref: fruit_fly/hash.py:121,136). Vocab weights and the projection matrix ride
+to executors as Spark broadcast variables (the reference's module-global dicts,
+fruit_fly/hash.py:196-198, become broadcasts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pears_fruit_fly_spark.config import FlyConfig
+from pears_fruit_fly_spark.functions.fly import featurize_batch, make_projection_matrix
+from pears_fruit_fly_spark.functions.tokenizer import whitespace_tokenize
+from pears_fruit_fly_spark.functions.vocab import Vocab
+
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("sig", ArrayType(LongType())),
+        StructField("keywords", ArrayType(IntegerType())),
+        StructField("doclen", LongType()),
+    ]
+)
+
+
+def build_signatures(
+    spark: SparkSession,
+    pages: DataFrame,
+    vocab: Vocab,
+    cfg: FlyConfig,
+    text_col: str = "text",
+    projection: np.ndarray | None = None,
+) -> DataFrame:
+    """pages(url, text, ...) → (url, sig array<long>, keywords, doclen).
+
+    doclen = number of in-vocabulary tokens (the BM25 dl statistic).
+    """
+    if projection is None:
+        projection = make_projection_matrix(
+            vocab.size, cfg.kc_size, cfg.proj_size, cfg.seed
+        )
+    sc = spark.sparkContext
+    b_proj = sc.broadcast(projection.astype(np.float32))
+    b_weights = sc.broadcast(vocab.weights.astype(np.float32))
+    b_t2i = sc.broadcast(vocab.term_to_id)
+    top_words, wta_percent = cfg.top_words, cfg.wta_percent
+
+    def _hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proj = b_proj.value
+        weights = b_weights.value
+        t2i = b_t2i.value
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            tokens = [
+                [t2i[t] for t in whitespace_tokenize(x.replace("\n", " ")) if t in t2i]
+                for x in texts
+            ]
+            sigs, keywords = featurize_batch(
+                tokens, weights, proj, top_words, wta_percent
+            )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "sig": [row.tolist() for row in sigs],
+                    "keywords": keywords,
+                    "doclen": [len(ts) for ts in tokens],
+                }
+            )
+
+    return pages.select("url", text_col).mapInPandas(_hash_batches, SIGNATURE_SCHEMA)
+
+
+def featurize_query(text: str, vocab: Vocab, cfg: FlyConfig,
+                    projection: np.ndarray | None = None) -> np.ndarray:
+    """Driver-side single-text signature (the serving path featurizes the
+    query once on the driver, SURVEY.md §3.3)."""
+    if projection is None:
+        projection = make_projection_matrix(
+            vocab.size, cfg.kc_size, cfg.proj_size, cfg.seed
+        )
+    tokens = [vocab.encode(whitespace_tokenize(text.replace("\n", " ")))]
+    sigs, _ = featurize_batch(
+        tokens, vocab.weights.astype(np.float32), projection.astype(np.float32),
+        cfg.top_words, cfg.wta_percent,
+    )
+    return sigs[0]
+
+
+def hamming_topk(
+    signatures: DataFrame, query_sig: np.ndarray, k: int = 10
+) -> DataFrame:
+    """Hamming nearest-neighbour top-k over packed signatures, pure Spark SQL.
+
+    dist = sum over words of bit_count(sig[i] XOR q[i]) — the packed-long
+    equivalent of the reference's hamming_cdist query
+    (ref: web_map/umap/utils.py:139-142). Stays entirely inside whole-stage
+    codegen (zip_with + aggregate + bit_count are JVM expressions); the global
+    top-k compiles to TakeOrderedAndProject, i.e. per-partition heaps + a
+    k-row gather — no full sort, no wide shuffle.
+
+    Ties broken by url asc for rank determinism (SURVEY.md §7 hard parts).
+    """
+    q = F.array(*[F.lit(int(w)) for w in query_sig])
+    dist = F.aggregate(
+        F.zip_with(F.col("sig"), q, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("hamming")
+    return (
+        signatures.select("url", dist)
+        .orderBy(F.asc("hamming"), F.asc("url"))
+        .limit(k)
+    )

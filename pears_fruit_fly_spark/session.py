@@ -1,0 +1,56 @@
+"""SparkSession factory with the engine's standard tuning.
+
+Settings are chosen for the 100 TB design point but parameterized so tests run
+on local[4] and the bench harness can pin local[8] vs local[32] for the
+two-cluster-size scaling evidence (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pears-fruit-fly-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    - AQE on: post-shuffle coalesce + skew-join splitting are load-bearing at
+      scale (Zipf head terms, see plans/salt.py for the explicit handling).
+    - Arrow on with ~2k-row batches: mirrors the reference's vectorized batch
+      size (ref: fruit_fly/hash.py:121,136 — 2000-doc matrix chunks).
+    - shuffle partitions default to 2x cores locally; on a real cluster this
+      is set to ~2-3x total executor cores via spark-submit conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    else:
+        # 2x parallelism: good default for local; cluster jobs override.
+        try:
+            n = int(master.split("[")[1].rstrip("]").replace("*", str(os.cpu_count())))
+        except Exception:
+            n = os.cpu_count() or 8
+        builder = builder.config("spark.sql.shuffle.partitions", str(max(8, 2 * n)))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

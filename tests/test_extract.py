@@ -1,0 +1,94 @@
+"""Byte-identity tests for WET extraction (the per-row invariant).
+
+Oracle = a ~10-line inline restatement of read_doc_wet semantics
+(ref: common_crawl_processor/cc_process_wet.py:36-54): strict utf-8 decode,
+title = first '\\n'-split element, text = '\\n'.join(rest); decode failure
+=> record skipped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pears_fruit_fly_spark.sources.wet import dedup_latest, extract_pages, ingest_filter
+
+
+def oracle_extract(payload: bytes):
+    try:
+        decoded = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return None, None
+    lines = decoded.split("\n")
+    return lines[0], "\n".join(lines[1:])
+
+
+def test_extract_byte_identity(spark, pages_df, pages_pdf):
+    got = {
+        (r["url"], r["warc_ts"]): (r["title"], r["text_x"])
+        for r in extract_pages(pages_df)
+        .select("url", "warc_ts", "title", F.col("text").alias("text_orig"),
+                F.col("text").alias("text_x"))
+        .collect()
+    }
+    # compare against the oracle on every row, including edge cases
+    n_checked = 0
+    for row in pages_pdf.itertuples(index=False):
+        title, text = oracle_extract(bytes(row.html))
+        key = (row.url, row.warc_ts.to_pydatetime().replace(tzinfo=None))
+        assert key in got
+        gt, gx = got[key]
+        assert gt == title, f"title mismatch for {row.url}"
+        assert gx == text, f"text mismatch for {row.url}"
+        if text is not None:
+            # byte identity, not just str equality
+            assert gx.encode("utf-8") == text.encode("utf-8")
+        n_checked += 1
+    assert n_checked == len(pages_pdf)
+
+
+def test_extract_handles_decode_failure(spark, pages_df):
+    bad = (
+        extract_pages(pages_df)
+        .filter(F.col("text").isNull() & F.col("html").isNotNull())
+        .count()
+    )
+    assert bad >= 1  # the injected non-UTF-8 payload yields nulls
+
+
+def test_extract_edge_cases(spark):
+    rows = [
+        ("u-crlf", bytearray("Title\r\nline1\r\nline2".encode("utf-8"))),
+        ("u-empty", bytearray(b"TitleOnly")),
+        ("u-trailnl", bytearray(b"T\nbody\n")),
+        ("u-multibyte", bytearray("T\n日本語 😀 ümlaut".encode("utf-8"))),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: (r["title"], r["text"]) for r in extract_pages(df).collect()}
+    assert got["u-crlf"] == ("Title\r", "line1\r\nline2")  # \r survives: split on \n only
+    assert got["u-empty"] == ("TitleOnly", "")
+    assert got["u-trailnl"] == ("T", "body\n")
+    assert got["u-multibyte"] == ("T", "日本語 😀 ümlaut")
+
+
+def test_ingest_filter_semantics(spark, pages_df):
+    kept = ingest_filter(pages_df, lang="en", min_chars=1000)
+    rows = kept.select("text", "lang").collect()
+    assert all(len(r["text"]) >= 1000 and r["lang"] == "en" for r in rows)
+    # filter must be pushdown-eligible: plain predicates, no UDF in the plan
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_dedup_latest(spark, pages_df):
+    deduped = dedup_latest(pages_df)
+    assert deduped.count() == pages_df.select("url").distinct().count()
+    # for a known re-crawled url, the later warc_ts must win
+    dup_urls = [
+        r["url"]
+        for r in pages_df.groupBy("url").count().filter("count > 1").collect()
+    ]
+    assert dup_urls
+    u = dup_urls[0]
+    max_ts = pages_df.filter(F.col("url") == u).agg(F.max("warc_ts")).first()[0]
+    got_ts = deduped.filter(F.col("url") == u).first()["warc_ts"]
+    assert got_ts == max_ts
