@@ -127,12 +127,14 @@ def make_queries(seed: int = SEED, v: int = 2000) -> pd.DataFrame:
     rows = []
     for qid in range(100):
         n_terms = int(rng.integers(1, 7))
+        head_hi = max(2, v // 40)
+        mid_hi = max(head_hi + 1, v // 4)
         if qid < 40:
-            pool = range(0, 50)
+            pool = range(0, head_hi)
         elif qid < 80:
-            pool = range(50, 500)
+            pool = range(head_hi, mid_hi)
         else:
-            pool = range(500, v)
+            pool = range(mid_hi, v)
         picks = [terms[int(rng.choice(list(pool)))] for _ in range(n_terms)]
         if 90 <= qid < 95:
             picks.append("zz_oov_term")

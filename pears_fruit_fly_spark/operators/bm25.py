@@ -1,0 +1,357 @@
+"""BM25 top-k serving: relational reference path + block-max WAND path.
+
+Okapi BM25 pinned to k1=1.2, b=0.75 (BASELINE.json north_rule),
+idf = ln((N - df + 0.5)/(df + 0.5) + 1), ties broken (score desc, doc_id asc).
+Rank identity is verified against oracle/bm25_numpy.py (SURVEY.md §5.2 item 3).
+
+Two implementations, deliberately:
+
+* ``bm25_scores_relational`` / ``bm25_topk_relational`` — pure DataFrame over
+  long-format tokens. Catalyst plans it as broadcast-join + partial/final
+  hash agg + TakeOrderedAndProject: the cross-checkable reference path
+  (DuckDB oracle SQL in __spark_entry__.py matches it 1:1).
+
+* ``bm25_topk_wand`` — the serving path over the compressed index:
+  partition-pruned scan of query-term buckets → doc-range scatter of
+  ENCODED blocks → per-range exact block-max WAND (segment-at-a-time,
+  vectorized decode, threshold pruning skips whole blocks) → k-row gather.
+  The only shuffle moves compressed block bytes of the query's terms.
+
+Distributed-WAND note: postings are term-partitioned (build locality), but
+doc-aligned scoring needs all query terms per doc in one task, so the query
+scatters blocks into doc-range groups first. A block whose [first_doc,
+last_doc] straddles range boundaries is sent to each overlapped range and
+masked after decode — exactness is preserved, and only genuinely sparse
+terms straddle many ranges (their lists are tiny).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from pears_fruit_fly_spark.config import BM25Config
+from pears_fruit_fly_spark.functions.tokenizer import whitespace_tokenize
+from pears_fruit_fly_spark.functions.vocab import Vocab
+from pears_fruit_fly_spark.operators.codec import bm25_impact, varbyte_decode, delta_decode
+from pears_fruit_fly_spark.plans.manifest import read_build_info
+from pears_fruit_fly_spark.operators.postings import read_postings, read_term_stats
+
+SCORE_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("score", DoubleType())]
+)
+
+
+def query_term_counts(query_text: str, vocab: Vocab) -> dict[int, int]:
+    """Query terms → {term_id: query_tf}; OOV terms dropped."""
+    ids = vocab.encode(whitespace_tokenize(query_text.replace("\n", " ")))
+    out: dict[int, int] = {}
+    for t in ids:
+        out[t] = out.get(t, 0) + 1
+    return out
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Relational reference path (over long-format tokens)
+# ---------------------------------------------------------------------------
+
+
+def bm25_scores_relational(
+    tokens: DataFrame,
+    qterms: dict[int, int],
+    n_docs: int,
+    avgdl: float,
+    bm25: BM25Config = BM25Config(),
+) -> DataFrame:
+    """tokens(doc_id, term_id, tf, dl) → (doc_id, score) for matching docs.
+
+    Plan: broadcast the tiny query-term dim (J6 in SURVEY.md §2.4) → semi-
+    join prunes non-query terms at the scan → per-term contribution computed
+    JVM-side → hash agg. df comes from a term-level aggregation of the same
+    pruned scan, so no full-vocabulary stats table is required.
+    """
+    spark = tokens.sparkSession
+    q = spark.createDataFrame(
+        [(int(t), int(c)) for t, c in qterms.items()], "term_id int, qtf int"
+    )
+    hits = tokens.join(F.broadcast(q), "term_id")
+    dfs = hits.groupBy("term_id").agg(F.countDistinct("doc_id").alias("df"))
+    hits = hits.join(F.broadcast(dfs), "term_id")
+    k1, b = bm25.k1, bm25.b
+    contrib = (
+        F.col("qtf")
+        * F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
+    )
+    return (
+        hits.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
+def bm25_topk_relational(
+    tokens: DataFrame,
+    qterms: dict[int, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    bm25: BM25Config = BM25Config(),
+) -> DataFrame:
+    scores = bm25_scores_relational(tokens, qterms, n_docs, avgdl, bm25)
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# WAND serving path (over the compressed index)
+# ---------------------------------------------------------------------------
+
+
+class _Run:
+    """Cursor over one (term, salt) posting run inside a doc range."""
+
+    __slots__ = ("blocks", "i", "weight", "buf_ids", "buf_scores", "lo", "hi")
+
+    def __init__(self, blocks: list, weight: float, lo: int, hi: int):
+        # blocks sorted by first_doc; weight = qtf * idf
+        self.blocks = blocks
+        self.i = 0
+        self.weight = weight
+        self.buf_ids: np.ndarray | None = None
+        self.buf_scores: np.ndarray | None = None
+        self.lo, self.hi = lo, hi  # range mask for straddling blocks
+
+    def active(self) -> bool:
+        return self.buf_ids is not None or self.i < len(self.blocks)
+
+    def cur_first(self) -> int:
+        if self.buf_ids is not None:
+            return int(self.buf_ids[0])
+        return max(int(self.blocks[self.i]["first_doc"]), self.lo)
+
+    def cur_last(self) -> int:
+        if self.buf_ids is not None:
+            return int(self.buf_ids[-1])
+        return min(int(self.blocks[self.i]["last_doc"]), self.hi)
+
+    def cur_ub(self) -> float:
+        if self.buf_ids is not None:
+            return self.weight * float(self.buf_scores.max()) if self.buf_scores.size else 0.0
+        return self.weight * float(self.blocks[self.i]["max_impact"])
+
+    def _decode_current(self, avgdl: float, k1: float, b: float) -> None:
+        blk = self.blocks[self.i]
+        n = int(blk["n"])
+        ids = delta_decode(
+            int(blk["first_doc"]), varbyte_decode(bytes(blk["doc_gaps"]), n)
+        ).astype(np.int64)
+        tfs = (varbyte_decode(bytes(blk["tfs"]), n) + np.uint64(1)).astype(np.int64)
+        dls = varbyte_decode(bytes(blk["dls"]), n).astype(np.int64)
+        mask = (ids >= self.lo) & (ids <= self.hi)
+        ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
+        self.buf_ids = ids
+        self.buf_scores = bm25_impact(tfs, dls, avgdl, k1, b)
+        self.i += 1
+
+    def consume_upto(self, e: int, avgdl: float, k1: float, b: float):
+        """Return (ids, weighted_scores) for postings with id <= e; advance."""
+        out_i, out_s = [], []
+        while self.active() and self.cur_first() <= e:
+            if self.buf_ids is None:
+                self._decode_current(avgdl, k1, b)
+                if self.buf_ids.size == 0:
+                    self.buf_ids = self.buf_scores = None
+                    continue
+            take = self.buf_ids <= e
+            if take.any():
+                out_i.append(self.buf_ids[take])
+                out_s.append(self.buf_scores[take] * self.weight)
+            rest = ~take
+            if rest.any():
+                self.buf_ids = self.buf_ids[rest]
+                self.buf_scores = self.buf_scores[rest]
+                break
+            self.buf_ids = self.buf_scores = None
+        if out_i:
+            return np.concatenate(out_i), np.concatenate(out_s)
+        return None, None
+
+    def skip_blocks_ending_by(self, e: int) -> None:
+        """Advance past whole blocks with last_doc <= e WITHOUT decoding."""
+        if self.buf_ids is not None:
+            # buffered remainder: drop entries <= e (they were pruned)
+            keep = self.buf_ids > e
+            if keep.all():
+                return
+            if keep.any():
+                self.buf_ids = self.buf_ids[keep]
+                self.buf_scores = self.buf_scores[keep]
+            else:
+                self.buf_ids = self.buf_scores = None
+            return
+        while self.i < len(self.blocks) and min(
+            int(self.blocks[self.i]["last_doc"]), self.hi
+        ) <= e:
+            self.i += 1
+
+
+def _wand_score_range(
+    runs: list[_Run],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    candidates: set[int] | None = None,
+) -> list[tuple[int, float]]:
+    """Exact top-k within one doc range via segment-at-a-time block-max WAND.
+
+    Invariant per iteration: let e = min over active runs of cur_last(). All
+    postings with doc_id <= e live in the runs' current blocks/buffers, so
+    their total scores are final after one consume pass — score once, then
+    either prune the whole segment (sum of block ubs < theta) or score it.
+    """
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    theta = -1.0
+
+    def push(ids: np.ndarray, scores: np.ndarray) -> None:
+        nonlocal theta
+        for d, s in zip(ids, scores):
+            item = (float(s), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        if len(heap) == k:
+            theta = heap[0][0]
+
+    while True:
+        active = [r for r in runs if r.active()]
+        if not active:
+            break
+        e = min(r.cur_last() for r in active)
+        ub = sum(r.cur_ub() for r in active if r.cur_first() <= e)
+        if len(heap) == k and ub < theta:
+            for r in active:
+                r.skip_blocks_ending_by(e)
+            continue
+        all_i, all_s = [], []
+        for r in active:
+            ids, scores = r.consume_upto(e, avgdl, k1, b)
+            if ids is not None:
+                all_i.append(ids)
+                all_s.append(scores)
+        if all_i:
+            ids = np.concatenate(all_i)
+            scores = np.concatenate(all_s)
+            uniq, inv = np.unique(ids, return_inverse=True)
+            totals = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(totals, inv, scores)
+            if candidates is not None:
+                keep = np.fromiter(
+                    (int(d) in candidates for d in uniq), dtype=bool, count=uniq.size
+                )
+                uniq, totals = uniq[keep], totals[keep]
+            push(uniq, totals)
+    out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+    return [(int(d), float(s)) for s, d in out]
+
+
+def bm25_topk_wand(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    vocab: Vocab,
+    k: int = 10,
+    n_ranges: int = 16,
+    candidate_docs: set[int] | None = None,
+) -> DataFrame:
+    """Top-k BM25 over the compressed index. Returns (doc_id, score).
+
+    candidate_docs: optional prefilter set (fruit-fly Hamming candidates);
+    when given, only those docs are scored (semantics of the PeARS
+    signature prefilter composition — SURVEY.md §3.3 stage B').
+    """
+    info = read_build_info(index_dir)
+    n_docs, avgdl = info["n_docs"], info["avgdl"]
+    k1, b = info["k1"], info["b"]
+    P = info["num_partitions"]
+
+    qcounts = query_term_counts(query_text, vocab)
+    if not qcounts:
+        return spark.createDataFrame([], SCORE_SCHEMA)
+
+    term_ids = sorted(qcounts)
+    stats = {
+        int(r["term_id"]): int(r["df"])
+        for r in read_term_stats(spark, index_dir)
+        .filter(F.col("term_id").isin(term_ids))
+        .collect()
+    }
+    weights = {
+        t: qcounts[t] * idf(n_docs, stats.get(t, 0)) for t in term_ids if t in stats
+    }
+    if not weights:
+        return spark.createDataFrame([], SCORE_SCHEMA)
+
+    # partition pruning: term_id -> bucket via the same xxhash64 Spark uses
+    tdf = spark.createDataFrame([(t,) for t in weights], "term_id int")
+    buckets = [
+        int(r["b"])
+        for r in tdf.select(
+            F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int").alias("b")
+        ).distinct().collect()
+    ]
+
+    blocks = (
+        read_postings(spark, index_dir)
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term_id").isin(list(weights)))
+    )
+
+    # scatter blocks to doc ranges (straddlers duplicated, masked after decode)
+    range_width = max(1, (n_docs + n_ranges - 1) // n_ranges)
+    blocks = blocks.withColumn(
+        "range_id",
+        F.explode(
+            F.sequence(
+                (F.col("first_doc") / range_width).cast("long"),
+                (F.col("last_doc") / range_width).cast("long"),
+            )
+        ),
+    )
+
+    b_weights = spark.sparkContext.broadcast(weights)
+    b_cand = spark.sparkContext.broadcast(candidate_docs)
+
+    def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        rid = int(pdf["range_id"].iloc[0])
+        lo, hi = rid * range_width, (rid + 1) * range_width - 1
+        w = b_weights.value
+        runs = []
+        for (t, s), grp in pdf.groupby(["term_id", "salt"], sort=True):
+            grp = grp.sort_values("first_doc")
+            runs.append(_Run(grp.to_dict("records"), w[int(t)], lo, hi))
+        top = _wand_score_range(runs, k, avgdl, k1, b, candidates=b_cand.value)
+        return pd.DataFrame(top, columns=["doc_id", "score"])
+
+    local_topk = blocks.groupBy("range_id").applyInPandas(_score_group, SCORE_SCHEMA)
+    return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

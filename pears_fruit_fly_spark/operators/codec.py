@@ -1,0 +1,150 @@
+"""Posting-list compression: delta + variable-byte, block-max metadata.
+
+Not present in the reference (its index is a pickled hash matrix,
+fruit_fly/hash.py:275-284); mandated by BASELINE.json north_rule. Pure NumPy,
+fully vectorized in both directions — this code runs inside the hot
+applyInPandas/mapInPandas stages of the build and query paths, so per-element
+Python loops are not acceptable.
+
+Layout per posting block (<= block_size docs of one term):
+
+    doc ids:  delta-encoded (gap from previous id, first gap from first_doc),
+              each gap varbyte-encoded (7 data bits/byte, MSB = continuation)
+    tfs:      varbyte (tf >= 1 stored as tf-1)
+    dls:      varbyte document lengths — kept posting-local so BM25 scoring
+              needs no join at query time (explicit scale trade-off: +1-2
+              bytes/posting buys a zero-shuffle scoring stage)
+    metadata: n, first_doc, last_doc, max_tf, max_impact (block-max for WAND)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARBYTE_WIDTH = 10  # enough for uint64
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a non-negative int64/uint64 array.
+
+    MSB set = more bytes follow; little-endian 7-bit groups.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp = tmp >> np.uint64(1)
+    nbytes = np.maximum(1, (nbits + 6) // 7)
+    offsets = np.concatenate([[0], np.cumsum(nbytes)])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    # fill byte position j of every value that has > j bytes
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        idx = offsets[:-1][mask] + j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1) > j
+        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes, n: int | None = None) -> np.ndarray:
+    """Vectorized varbyte decode → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)  # index of terminal byte per value
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    values = np.zeros(ends.size, dtype=np.uint64)
+    widths = ends - starts + 1
+    for j in range(int(widths.max())):
+        mask = widths > j
+        byte = b[starts[mask] + j].astype(np.uint64) & np.uint64(0x7F)
+        values[mask] |= byte << np.uint64(7 * j)
+    if n is not None and values.size != n:
+        raise ValueError(f"decoded {values.size} values, expected {n}")
+    return values
+
+
+def delta_encode(sorted_ids: np.ndarray) -> tuple[int, np.ndarray]:
+    """Strictly-increasing ids → (first_id, gaps) with gaps >= 1 stored as
+    gap-1 for tighter varbytes; first gap is vs first_id itself (stored 0)."""
+    ids = np.asarray(sorted_ids, dtype=np.uint64)
+    gaps = np.diff(ids, prepend=ids[:1])  # first element → 0
+    if ids.size > 1 and (gaps[1:] == 0).any():
+        raise ValueError("doc ids must be strictly increasing within a posting list")
+    out = gaps.copy()
+    out[1:] -= 1  # store gap-1 (gaps are >= 1 after the first)
+    return int(ids[0]), out
+
+
+def delta_decode(first_id: int, stored: np.ndarray) -> np.ndarray:
+    gaps = np.asarray(stored, dtype=np.uint64).copy()
+    if gaps.size == 0:
+        return gaps
+    gaps[0] = np.uint64(first_id)
+    gaps[1:] += 1
+    return np.cumsum(gaps, dtype=np.uint64)
+
+
+def bm25_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    """Term-frequency normalization component of BM25 (idf-free):
+    tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)). Score = idf * impact."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int = 128,
+) -> list[dict]:
+    """One term's sorted postings → list of block dicts (schema in module doc).
+
+    max_impact is the block-max WAND bound: max over the block of the
+    idf-free impact; query-time upper bound = idf(term) * max_impact.
+    """
+    blocks = []
+    n = doc_ids.size
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        ids = doc_ids[s:e]
+        t = tfs[s:e]
+        d = dls[s:e]
+        first, gaps = delta_encode(ids)
+        impacts = bm25_impact(t, d, avgdl, k1, b)
+        blocks.append(
+            {
+                "block_id": s // block_size,
+                "n": int(e - s),
+                "first_doc": int(first),
+                "last_doc": int(ids[-1]),
+                "doc_gaps": varbyte_encode(gaps),
+                "tfs": varbyte_encode(np.asarray(t, dtype=np.uint64) - 1),
+                "dls": varbyte_encode(np.asarray(d, dtype=np.uint64)),
+                "max_tf": int(t.max()),
+                "max_impact": float(impacts.max()),
+            }
+        )
+    return blocks
+
+
+def decode_block(block) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Block row (dict-like / pandas row) → (doc_ids, tfs, dls)."""
+    n = int(block["n"])
+    ids = delta_decode(int(block["first_doc"]), varbyte_decode(bytes(block["doc_gaps"]), n))
+    tfs = varbyte_decode(bytes(block["tfs"]), n) + np.uint64(1)
+    dls = varbyte_decode(bytes(block["dls"]), n)
+    return ids.astype(np.int64), tfs.astype(np.int64), dls.astype(np.int64)

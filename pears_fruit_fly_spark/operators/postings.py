@@ -1,0 +1,318 @@
+"""Inverted-index build: term-partitioned, delta+varbyte, block-max, resumable.
+
+Not in the reference (its index is a pickled dense hash matrix,
+fruit_fly/hash.py:275-284; merge = unpickle+vstack, hash_pod.py:88-113);
+mandated by BASELINE.json north_rule. Physical design per SURVEY.md §3.2:
+
+  stage 0  tokenize (narrow)      pages(doc_id, text) → tokens(doc_id,
+                                  term_id, tf, dl) via mapInPandas — no shuffle
+  stage 1  stats + salt plan      one hash-agg shuffle for term df/cf;
+                                  head terms (Zipf skew) get n_salts sub-
+                                  partitions (plans/salt.py)
+  stage 2  stage tokens           ONE exchange: repartition by term bucket,
+                                  write staging parquet partitioned by bucket
+  stage 3  per-bucket encode      resumable loop over pending buckets (anti-
+                                  join vs manifest): repartition by (term,
+                                  salt) → sortWithinPartitions(term, salt,
+                                  doc_id) [UnsafeExternalSorter spills] →
+                                  mapInPandas block encoder → postings dir
+                                  for that bucket + manifest row
+
+Resume = rerun build_postings with the same index_dir: completed buckets are
+skipped; outputs are byte-identical to an uninterrupted run (tested).
+
+At the 10^12-doc design point: num_partitions ≈ 4096 buckets; each bucket job
+sorts ~1/4096 of total postings across many tasks. Scoring needs no joins at
+query time because dl travels inside the posting blocks (codec.py trade-off
+note).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pears_fruit_fly_spark.config import BM25Config, PostingsConfig
+from pears_fruit_fly_spark.functions.tokenizer import whitespace_tokenize
+from pears_fruit_fly_spark.functions.vocab import Vocab
+from pears_fruit_fly_spark.operators.codec import encode_blocks
+from pears_fruit_fly_spark.plans import manifest as mf
+from pears_fruit_fly_spark.plans.salt import build_salt_plan
+
+TOKENS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("term_id", IntegerType()),
+        StructField("tf", IntegerType()),
+        StructField("dl", LongType()),
+    ]
+)
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term_id", IntegerType()),
+        StructField("salt", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("n", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+        StructField("doc_gaps", BinaryType()),
+        StructField("tfs", BinaryType()),
+        StructField("dls", BinaryType()),
+        StructField("max_tf", IntegerType()),
+        StructField("max_impact", DoubleType()),
+    ]
+)
+
+
+def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text") -> DataFrame:
+    """pages(doc_id, text) → long-format tokens (doc_id, term_id, tf, dl).
+
+    Narrow mapInPandas (flatMap shape): per-doc unique-term counts computed
+    inside the Arrow batch with NumPy — the relational equivalent
+    (explode + groupBy, SURVEY.md F2) would shuffle every token; this emits
+    pre-aggregated (doc, term) rows and shuffles nothing.
+    dl = total in-vocab token count (the BM25 dl statistic).
+    """
+    spark = pages.sparkSession
+    b_t2i = spark.sparkContext.broadcast(vocab.term_to_id)
+
+    def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t2i = b_t2i.value
+        for pdf in batches:
+            doc_ids, term_ids, tfs, dls = [], [], [], []
+            for did, text in zip(pdf["doc_id"].values, pdf[text_col].fillna("")):
+                ids = [t2i[t] for t in whitespace_tokenize(text.replace("\n", " ")) if t in t2i]
+                arr = np.asarray(ids, dtype=np.int64)
+                uniq, counts = np.unique(arr, return_counts=True)
+                dl = int(arr.size)
+                doc_ids.append(np.full(uniq.size, did, dtype=np.int64))
+                term_ids.append(uniq.astype(np.int32))
+                tfs.append(counts.astype(np.int32))
+                dls.append(np.full(uniq.size, dl, dtype=np.int64))
+            if not doc_ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(doc_ids),
+                    "term_id": np.concatenate(term_ids),
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                }
+            )
+
+    return pages.select("doc_id", text_col).mapInPandas(_tok, TOKENS_SCHEMA)
+
+
+def _encoder(avgdl: float, bm25: BM25Config, block_size: int):
+    """mapInPandas encoder over a partition sorted by (term_id, salt, doc_id).
+
+    Carries the open (term, salt) run across Arrow batch boundaries so block
+    layout is independent of batch size (determinism requirement).
+    """
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: dict | None = None  # open run: term, salt, ids/tfs/dls arrays
+
+        def flush(run) -> pd.DataFrame:
+            blocks = encode_blocks(
+                np.concatenate(run["ids"]),
+                np.concatenate(run["tfs"]),
+                np.concatenate(run["dls"]),
+                avgdl,
+                bm25.k1,
+                bm25.b,
+                block_size,
+            )
+            rows = pd.DataFrame(blocks)
+            rows.insert(0, "salt", np.int32(run["salt"]))
+            rows.insert(0, "term_id", np.int32(run["term"]))
+            return rows[[f.name for f in POSTINGS_SCHEMA.fields]]
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            term = pdf["term_id"].values
+            salt = pdf["salt"].values
+            # boundaries where (term, salt) changes
+            change = np.flatnonzero((term[1:] != term[:-1]) | (salt[1:] != salt[:-1])) + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(pdf)]])
+            out = []
+            for s, e in zip(starts, ends):
+                t, sa = int(term[s]), int(salt[s])
+                seg = {
+                    "ids": pdf["doc_id"].values[s:e],
+                    "tfs": pdf["tf"].values[s:e],
+                    "dls": pdf["dl"].values[s:e],
+                }
+                if carry is not None and carry["term"] == t and carry["salt"] == sa:
+                    carry["ids"].append(seg["ids"])
+                    carry["tfs"].append(seg["tfs"])
+                    carry["dls"].append(seg["dls"])
+                    continue
+                if carry is not None:
+                    out.append(flush(carry))
+                carry = {
+                    "term": t,
+                    "salt": sa,
+                    "ids": [seg["ids"]],
+                    "tfs": [seg["tfs"]],
+                    "dls": [seg["dls"]],
+                }
+            if out:
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None:
+            yield flush(carry)
+
+    return _encode
+
+
+def build_postings(
+    spark: SparkSession,
+    pages_with_ids: DataFrame,
+    vocab: Vocab,
+    index_dir: str,
+    bm25: BM25Config = BM25Config(),
+    cfg: PostingsConfig = PostingsConfig(),
+    text_col: str = "text",
+) -> dict:
+    """Full resumable index build. pages_with_ids must carry (doc_id, text).
+
+    Returns the build_info dict (N, avgdl, paths, timings). Idempotent:
+    re-invocation skips buckets already recorded in the manifest.
+    """
+    t0 = time.time()
+    os.makedirs(index_dir, exist_ok=True)
+    staging = os.path.join(index_dir, "_staging_tokens")
+    postings_dir = os.path.join(index_dir, "postings")
+    stats_path = os.path.join(index_dir, "term_stats")
+    P = cfg.num_partitions
+
+    done = mf.completed_partitions(spark, index_dir)
+    if not os.path.exists(os.path.join(index_dir, "_build_info.json")):
+        # ---- stage 0-2: tokens, stats, salt plan, staging (run once) ----
+        tokens = tokens_long(pages_with_ids, vocab, text_col)
+
+        term_stats = tokens.groupBy("term_id").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        term_stats.write.mode("overwrite").parquet(stats_path)
+        term_stats = spark.read.parquet(stats_path)
+
+        agg = pages_with_ids.agg(F.count("*").alias("n")).collect()[0]
+        n_docs = int(agg["n"])
+        total_tokens = int(
+            term_stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
+        )
+        avgdl = total_tokens / max(1, n_docs)
+
+        salt_plan = build_salt_plan(
+            term_stats, cfg.skew_df_threshold, cfg.max_docs_per_subpartition
+        )
+        salted = (
+            tokens.join(F.broadcast(salt_plan), "term_id", "left")
+            .withColumn(
+                "salt",
+                F.pmod(F.col("doc_id"), F.coalesce(F.col("n_salts"), F.lit(1)))
+                .cast("int"),
+            )
+            .withColumn(
+                "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
+            )
+            .drop("n_salts")
+        )
+        # THE one wide exchange of the build: spread by (bucket, term, salt)
+        # so head-term sub-lists land on different tasks, then write staged
+        # tokens partitioned by bucket for per-bucket resumable encoding.
+        (
+            salted.repartition(P, "term_bucket", "term_id", "salt")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(staging)
+        )
+        info = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            "k1": bm25.k1,
+            "b": bm25.b,
+            "block_size": cfg.block_size,
+            "num_partitions": P,
+            "skew_df_threshold": cfg.skew_df_threshold,
+            "vocab_size": vocab.size,
+        }
+        mf.write_build_info(index_dir, info)
+    else:
+        info = mf.read_build_info(index_dir)
+        avgdl = info["avgdl"]
+
+    # ---- stage 3: per-bucket encode, resumable ----
+    encode = _encoder(avgdl, BM25Config(info["k1"], info["b"]), info["block_size"])
+    staged = spark.read.parquet(staging)
+    buckets = sorted(
+        r["term_bucket"]
+        for r in staged.select("term_bucket").distinct().collect()
+    )
+    for b in buckets:
+        if b in done:
+            continue
+        tb = time.time()
+        part = staged.filter(F.col("term_bucket") == b)
+        rows_in = part.count()
+        encoded = (
+            part.repartition(max(1, rows_in // 2_000_000 + 1), "term_id", "salt")
+            .sortWithinPartitions("term_id", "salt", "doc_id")
+            .mapInPandas(encode, POSTINGS_SCHEMA)
+        )
+        out_path = os.path.join(postings_dir, f"term_bucket={b}")
+        encoded.write.mode("overwrite").parquet(out_path)
+        written = spark.read.parquet(out_path)
+        rows_out = written.count()
+        bytes_out = sum(
+            os.path.getsize(os.path.join(out_path, f))
+            for f in os.listdir(out_path)
+            if f.endswith(".parquet")
+        )
+        mf.append_manifest_rows(
+            spark,
+            index_dir,
+            [
+                mf.manifest_row(
+                    partition_key=b,
+                    rows_in=rows_in,
+                    rows_out=rows_out,
+                    bytes_out=bytes_out,
+                    wall_ms=(time.time() - tb) * 1000,
+                    input_fingerprint=f"staging:{b}:rows={rows_in}",
+                )
+            ],
+        )
+    info["build_wall_s"] = time.time() - t0
+    return info
+
+
+def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Postings table with term_bucket partition column recovered from paths."""
+    return spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(
+        os.path.join(index_dir, "postings")
+    )
+
+
+def read_term_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "term_stats"))

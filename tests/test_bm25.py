@@ -1,0 +1,117 @@
+"""Rank identity: Spark BM25 (relational + WAND) vs the pinned NumPy oracle.
+
+SURVEY.md §5.2 item 3: scores to 1e-9, ranks exact, ties by doc_id asc,
+over the frozen query set (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pears_fruit_fly_spark.config import BM25Config, PostingsConfig
+from pears_fruit_fly_spark.fixtures.webtext import make_queries
+from pears_fruit_fly_spark.operators.bm25 import (
+    bm25_topk_relational,
+    bm25_topk_wand,
+    query_term_counts,
+)
+from pears_fruit_fly_spark.operators.docids import assign_doc_ids
+from pears_fruit_fly_spark.operators.postings import build_postings, tokens_long
+from pears_fruit_fly_spark.oracle.bm25_numpy import BM25Oracle
+from pears_fruit_fly_spark.sources.wet import dedup_latest
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, pages_df, vocab, tmp_path_factory):
+    clean = dedup_latest(pages_df)
+    ids = assign_doc_ids(clean, "url")
+    pages_ids = clean.join(ids, "url").persist()
+    d = str(tmp_path_factory.mktemp("bm25index"))
+    info = build_postings(
+        spark, pages_ids, vocab, d,
+        cfg=PostingsConfig(num_partitions=8, skew_df_threshold=50,
+                           max_docs_per_subpartition=40),
+    )
+    oracle = BM25Oracle(
+        [(r["doc_id"], r["text"]) for r in pages_ids.select("doc_id", "text").collect()],
+        vocab,
+    )
+    tokens = tokens_long(pages_ids, vocab).persist()
+    return {"pages": pages_ids, "dir": d, "info": info, "oracle": oracle,
+            "tokens": tokens}
+
+
+QUERIES = make_queries(v=500)
+
+
+def _assert_rank_identical(got, want, qid):
+    assert len(got) == len(want), f"q{qid}: {len(got)} vs {len(want)} rows"
+    for rank, ((gd, gs), (wd, ws)) in enumerate(zip(got, want)):
+        assert gd == wd, f"q{qid} rank {rank}: doc {gd} != {wd}"
+        assert abs(gs - ws) < 1e-9, f"q{qid} rank {rank}: {gs} vs {ws}"
+
+
+@pytest.mark.parametrize("qid", [0, 1, 5, 17, 42, 63, 80, 91, 96])
+def test_wand_rank_identity(spark, corpus, vocab, qid):
+    row = QUERIES.iloc[qid]
+    want = corpus["oracle"].topk(row.query_text, int(row.k))
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_wand(
+            spark, corpus["dir"], row.query_text, vocab, k=int(row.k), n_ranges=4
+        ).collect()
+    ]
+    _assert_rank_identical(got, want, qid)
+
+
+@pytest.mark.parametrize("qid", [2, 30, 55, 85, 93, 97])
+def test_relational_rank_identity(spark, corpus, vocab, qid):
+    row = QUERIES.iloc[qid]
+    oracle = corpus["oracle"]
+    want = oracle.topk(row.query_text, int(row.k))
+    q = query_term_counts(row.query_text, vocab)
+    got_df = bm25_topk_relational(
+        corpus["tokens"], q, oracle.n_docs, oracle.avgdl, int(row.k)
+    )
+    got = [(r["doc_id"], r["score"]) for r in got_df.collect()]
+    _assert_rank_identical(got, want, qid)
+
+
+def test_wand_oov_only_query(spark, corpus, vocab):
+    assert (
+        bm25_topk_wand(spark, corpus["dir"], "zz_oov xx_oov", vocab, k=5).count() == 0
+    )
+
+
+def test_wand_matches_relational_on_all_frozen_queries(spark, corpus, vocab):
+    """Cheaper full sweep: WAND vs oracle on every 7th frozen query."""
+    oracle = corpus["oracle"]
+    for qid in range(0, 100, 7):
+        row = QUERIES.iloc[qid]
+        want = oracle.topk(row.query_text, int(row.k))
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_wand(
+                spark, corpus["dir"], row.query_text, vocab, k=int(row.k),
+                n_ranges=3,
+            ).collect()
+        ]
+        _assert_rank_identical(got, want, qid)
+
+
+def test_wand_prefilter_composition(spark, corpus, vocab):
+    """Hamming-candidate prefilter: scored set restricted to candidates."""
+    oracle = corpus["oracle"]
+    row = QUERIES.iloc[3]
+    full = oracle.topk(row.query_text, 50)
+    cand = {d for d, _ in full[::2]}  # pretend prefilter kept every other doc
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_wand(
+            spark, corpus["dir"], row.query_text, vocab, k=10, n_ranges=4,
+            candidate_docs=cand,
+        ).collect()
+    ]
+    want = [(d, s) for d, s in full if d in cand][:10]
+    _assert_rank_identical(got, want, "prefilter")

@@ -1,0 +1,82 @@
+"""Codec properties: round-trip identity, block-max soundness (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pears_fruit_fly_spark.operators.codec import (
+    bm25_impact,
+    decode_block,
+    delta_decode,
+    delta_encode,
+    encode_blocks,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(st.lists(st.integers(0, 2**40), max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.asarray(vals, dtype=np.uint64)
+    got = varbyte_decode(varbyte_encode(arr))
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_varbyte_width_boundaries():
+    # 7-bit group boundaries: 127/128, 16383/16384, 2^21-1/2^21 (FIXTURES.md §5)
+    vals = np.array([0, 1, 127, 128, 16383, 16384, 2**21 - 1, 2**21, 2**63 - 1],
+                    dtype=np.uint64)
+    enc = varbyte_encode(vals)
+    np.testing.assert_array_equal(varbyte_decode(enc), vals)
+    assert varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+
+
+@given(st.sets(st.integers(0, 2**40), min_size=1, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_delta_roundtrip(idset):
+    ids = np.array(sorted(idset), dtype=np.uint64)
+    first, gaps = delta_encode(ids)
+    np.testing.assert_array_equal(delta_decode(first, gaps), ids)
+
+
+@given(
+    st.sets(st.integers(0, 10**7), min_size=1, max_size=600),
+    st.integers(1, 50),
+)
+@settings(max_examples=40, deadline=None)
+def test_block_roundtrip_and_blockmax_soundness(idset, seed):
+    rng = np.random.default_rng(seed)
+    ids = np.array(sorted(idset), dtype=np.int64)
+    tfs = rng.integers(1, 300, size=ids.size).astype(np.int64)
+    dls = rng.integers(1, 5000, size=ids.size).astype(np.int64)
+    avgdl, k1, b = 321.5, 1.2, 0.75
+    blocks = encode_blocks(ids, tfs, dls, avgdl, k1, b, block_size=128)
+
+    out_ids, out_tfs, out_dls = [], [], []
+    for blk in blocks:
+        i, t, d = decode_block(blk)
+        out_ids.append(i); out_tfs.append(t); out_dls.append(d)
+        # block-max soundness: stored max_impact >= every member impact
+        imps = bm25_impact(t, d, avgdl, k1, b)
+        assert blk["max_impact"] >= imps.max() - 1e-12
+        assert blk["max_tf"] == t.max()
+        assert blk["first_doc"] == i[0] and blk["last_doc"] == i[-1]
+        assert blk["n"] == i.size <= 128
+    np.testing.assert_array_equal(np.concatenate(out_ids), ids)
+    np.testing.assert_array_equal(np.concatenate(out_tfs), tfs)
+    np.testing.assert_array_equal(np.concatenate(out_dls), dls)
+
+
+def test_tf_one_runs_and_255():
+    ids = np.arange(0, 300, dtype=np.int64)
+    tfs = np.ones(300, dtype=np.int64); tfs[7] = 255
+    dls = np.full(300, 100, dtype=np.int64)
+    blocks = encode_blocks(ids, tfs, dls, 100.0, 1.2, 0.75)
+    # tf=1 runs encode to single zero bytes; the lone tf=255 (stored 254) takes 2
+    assert len(blocks[0]["tfs"]) == 129
+    i, t, d = decode_block(blocks[0])
+    assert t[7] == 255 and (np.delete(t, 7) == 1).all()

@@ -1,0 +1,168 @@
+"""Postings build: round-trip vs tokens, resume byte-identity, skew salting."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pears_fruit_fly_spark.config import BM25Config, PostingsConfig
+from pears_fruit_fly_spark.operators.codec import decode_block
+from pears_fruit_fly_spark.operators.docids import assign_doc_ids
+from pears_fruit_fly_spark.operators.postings import (
+    build_postings,
+    read_postings,
+    read_term_stats,
+    tokens_long,
+)
+from pears_fruit_fly_spark.plans import manifest as mf
+from pears_fruit_fly_spark.sources.wet import dedup_latest
+
+
+@pytest.fixture(scope="module")
+def pages_ids(spark, pages_df):
+    clean = dedup_latest(pages_df)
+    ids = assign_doc_ids(clean, "url")
+    return clean.join(ids, "url").persist()
+
+
+def test_assign_doc_ids_dense_and_deterministic(spark, pages_df):
+    clean = dedup_latest(pages_df)
+    a = {r["url"]: r["doc_id"] for r in assign_doc_ids(clean, "url").collect()}
+    b = {r["url"]: r["doc_id"] for r in assign_doc_ids(clean.repartition(13), "url").collect()}
+    assert a == b  # layout-independent
+    n = clean.count()
+    assert sorted(a.values()) == list(range(n))  # dense 0..N-1
+    # ids follow url sort order
+    urls = sorted(a)
+    assert [a[u] for u in urls] == list(range(n))
+
+
+def test_tokens_long_matches_python(spark, pages_ids, vocab):
+    rows = tokens_long(pages_ids, vocab).collect()
+    got = {(r["doc_id"], r["term_id"]): (r["tf"], r["dl"]) for r in rows}
+    src = {r["doc_id"]: r["text"] for r in pages_ids.select("doc_id", "text").collect()}
+    from pears_fruit_fly_spark.functions.tokenizer import whitespace_tokenize
+
+    want = {}
+    for did, text in src.items():
+        ids = vocab.encode(whitespace_tokenize((text or "").replace("\n", " ")))
+        dl = len(ids)
+        counts: dict[int, int] = {}
+        for t in ids:
+            counts[t] = counts.get(t, 0) + 1
+        for t, c in counts.items():
+            want[(did, t)] = (c, dl)
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, pages_ids, vocab, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    build_postings(
+        spark, pages_ids, vocab, d,
+        cfg=PostingsConfig(num_partitions=8, skew_df_threshold=50,
+                           max_docs_per_subpartition=40),
+    )
+    return d
+
+
+def test_postings_roundtrip_vs_tokens(spark, pages_ids, vocab, index_dir):
+    """Decoding every block must reproduce the exact token table."""
+    tokens = {
+        (r["doc_id"], r["term_id"]): (r["tf"], r["dl"])
+        for r in tokens_long(pages_ids, vocab).collect()
+    }
+    decoded = {}
+    for blk in read_postings(spark, index_dir).collect():
+        ids, tfs, dls = decode_block(blk)
+        assert (np.diff(ids) > 0).all()  # sorted, strictly increasing
+        assert blk["n"] <= 128
+        for d, t, dl in zip(ids, tfs, dls):
+            key = (int(d), int(blk["term_id"]))
+            assert key not in decoded or blk["salt"] is not None
+            decoded[key] = (int(t), int(dl))
+    assert decoded == tokens
+
+
+def test_term_stats(spark, pages_ids, vocab, index_dir):
+    stats = {r["term_id"]: (r["df"], r["cf"]) for r in read_term_stats(spark, index_dir).collect()}
+    tokens = tokens_long(pages_ids, vocab)
+    want = {
+        r["term_id"]: (r["df"], r["cf"])
+        for r in tokens.groupBy("term_id")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .collect()
+    }
+    assert stats == want
+
+
+def test_skewed_terms_are_salted(spark, index_dir):
+    """Head terms (df > 50) must be split into multiple salt runs."""
+    p = read_postings(spark, index_dir)
+    head = (
+        p.groupBy("term_id")
+        .agg(F.countDistinct("salt").alias("n_salts"), F.sum("n").alias("df"))
+        .filter(F.col("df") > 80)
+    )
+    rows = head.collect()
+    assert rows, "fixture should have head terms"
+    assert all(r["n_salts"] > 1 for r in rows)
+
+
+def test_manifest_written(spark, index_dir):
+    m = mf.read_manifest(spark, index_dir)
+    rows = m.collect()
+    assert {int(r["partition_key"]) for r in rows} == set(
+        r["term_bucket"]
+        for r in read_postings(spark, index_dir).select("term_bucket").distinct().collect()
+    )
+    assert all(r["rows_out"] > 0 and r["bytes_out"] > 0 and r["wall_ms"] > 0 for r in rows)
+
+
+def test_resume_produces_identical_index(spark, pages_ids, vocab, index_dir, tmp_path):
+    """Kill after 3 buckets; resume; final postings byte-identical."""
+    d2 = str(tmp_path / "index2")
+    cfg = PostingsConfig(num_partitions=8, skew_df_threshold=50,
+                         max_docs_per_subpartition=40)
+
+    class Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+    orig = mf.append_manifest_rows
+
+    def exploding(spark_, dir_, rows):
+        calls["n"] += 1
+        orig(spark_, dir_, rows)
+        if calls["n"] == 3:
+            raise Boom()
+
+    mf_module_attr = mf.append_manifest_rows
+    mf.append_manifest_rows = exploding
+    import pears_fruit_fly_spark.operators.postings as P
+
+    P.mf.append_manifest_rows = exploding
+    try:
+        with pytest.raises(Boom):
+            build_postings(spark, pages_ids, vocab, d2, cfg=cfg)
+    finally:
+        mf.append_manifest_rows = mf_module_attr
+        P.mf.append_manifest_rows = mf_module_attr
+
+    assert len(mf.completed_partitions(spark, d2)) == 3
+    build_postings(spark, pages_ids, vocab, d2, cfg=cfg)  # resume
+
+    def dump(d):
+        rows = read_postings(spark, d).collect()
+        return sorted(
+            (r["term_id"], r["salt"], r["block_id"], r["n"], r["first_doc"],
+             r["last_doc"], bytes(r["doc_gaps"]), bytes(r["tfs"]),
+             bytes(r["dls"]), r["max_tf"], round(r["max_impact"], 12))
+            for r in rows
+        )
+
+    assert dump(d2) == dump(index_dir)
