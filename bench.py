@@ -1,0 +1,142 @@
+"""Benchmark harness — emits ONE JSON line for the driver (BENCH_r{N}.json).
+
+Headline numbers:
+  * index_build   — full postings build (tokenize → salted shuffle → sort →
+                    varbyte/block-max encode → manifest) over a deterministic
+                    20k-doc synthetic web corpus (~3 KB/doc, Zipf vocab 2000)
+  * sig_build     — zero-shuffle fruit-fly signature pass over the same corpus
+  * bm25_wand_p95 — p95 latency of 20 block-max WAND top-10 queries
+  * plus the oracle-matched relational operators over $SPARK_GRAFT_SF_DIR
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32; the scaling evidence runs this script
+                         via scripts/scaling_bench.py at 8 vs 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CORPUS = int(os.environ.get("BENCH_CORPUS_DOCS", "20000"))
+VOCAB_V = 2000
+
+
+def main() -> None:
+    from pears_fruit_fly_spark.config import FlyConfig, PostingsConfig
+    from pears_fruit_fly_spark.fixtures.webtext import (
+        make_queries,
+        make_vocab_file_lines,
+        make_web_pages,
+    )
+    from pears_fruit_fly_spark.functions.vocab import parse_vocab_lines
+    from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand
+    from pears_fruit_fly_spark.operators.docids import assign_doc_ids
+    from pears_fruit_fly_spark.operators.postings import build_postings
+    from pears_fruit_fly_spark.operators.signatures import (
+        build_signatures,
+        featurize_query,
+        hamming_topk,
+    )
+    from pears_fruit_fly_spark.session import get_spark
+    from pears_fruit_fly_spark.sources.wet import dedup_latest
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("pears-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="pears_bench_")
+
+    # ---- corpus prep (not timed as a query; file-based so scans are real) --
+    pdf = make_web_pages(n=N_CORPUS, v=VOCAB_V)
+    corpus_path = os.path.join(work, "web_pages")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(corpus_path)
+    pages = spark.read.parquet(corpus_path)
+    vocab = parse_vocab_lines(make_vocab_file_lines(VOCAB_V))
+    fly_cfg = FlyConfig(pn_size=VOCAB_V, kc_size=512, proj_size=8,
+                        top_words=250, wta_percent=10.0)
+    n_docs = pages.count()
+
+    # ---- signature build (zero-shuffle fly path) --------------------------
+    t0 = time.time()
+    sig_path = os.path.join(work, "signatures")
+    build_signatures(spark, pages, vocab, fly_cfg).write.mode(
+        "overwrite"
+    ).parquet(sig_path)
+    timings["sig_build"] = time.time() - t0
+    extras["sig_docs_per_sec"] = round(n_docs / timings["sig_build"], 1)
+
+    # ---- index build -------------------------------------------------------
+    clean = dedup_latest(pages)
+    ids = assign_doc_ids(clean)
+    pages_ids = clean.join(ids, "url")
+    index_dir = os.path.join(work, "index")
+    t0 = time.time()
+    build_postings(
+        spark, pages_ids, vocab, index_dir,
+        cfg=PostingsConfig(num_partitions=2 * CPUS, skew_df_threshold=5000,
+                           max_docs_per_subpartition=5000),
+    )
+    timings["index_build"] = time.time() - t0
+    extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+
+    # ---- WAND query latency ------------------------------------------------
+    qset = make_queries(v=VOCAB_V)
+    lat = []
+    for qid in range(0, 40, 2):  # 20 queries
+        qtext = qset.iloc[qid].query_text
+        t0 = time.time()
+        bm25_topk_wand(spark, index_dir, qtext, vocab, k=10,
+                       n_ranges=CPUS).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    timings["bm25_wand_p95"] = lat[int(0.95 * (len(lat) - 1))]
+    extras["bm25_wand_p50"] = round(lat[len(lat) // 2], 4)
+
+    # ---- Hamming signature query -------------------------------------------
+    sigs = spark.read.parquet(sig_path)
+    qsig = featurize_query(qset.iloc[0].query_text, vocab, fly_cfg)
+    t0 = time.time()
+    hamming_topk(sigs, qsig, k=10).collect()
+    timings["hamming_topk"] = time.time() - t0
+
+    # ---- oracle-matched relational operators over SF_DIR -------------------
+    headline = [
+        "q_bm25_topk", "q_token_counts", "q_doc_freq", "q_jaccard_pairs",
+        "q_minhash_rankdict", "q_simhash_rankdict", "q_embedding_topk",
+        "q_lang_id", "q_quality", "q_pricing_summary", "q_top_customers",
+        "q_events_daily", "q_dedup_latest_orders",
+    ]
+    qmap = entrymod.queries()
+    for name in headline:
+        t0 = time.time()
+        qmap[name](spark, SF_DIR).collect()
+        timings[name] = time.time() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "corpus_docs": n_docs,
+        "extras": extras,
+    }
+    print(json.dumps(out))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -52,6 +52,9 @@ class PostingsConfig:
     num_partitions: int = 32     # term partitions (term_bucket count)
     skew_df_threshold: int = 100_000  # df above which a term is salted
     max_docs_per_subpartition: int = 1_000_000  # salt splitting granularity
+    bucket_batch_size: int | None = None  # buckets encoded per Spark job;
+    # None = all pending in one job (fastest); smaller = finer resume
+    # granularity (checkpoint manifest rows are always per-bucket)
 
 
 INGEST_MIN_CHARS = 1000  # ref: common_crawl_processor/cc_process_wet.py:77

@@ -52,6 +52,22 @@ SCORE_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("score", DoubleType())]
 )
 
+# Opened-index cache: avoids re-listing parquet files and re-reading
+# build_info on every query (serving-path latency). Keyed by index_dir.
+_INDEX_CACHE: dict[str, tuple[dict, object, object]] = {}
+
+
+def open_index(spark: SparkSession, index_dir: str):
+    """(build_info, postings_df, term_stats_df) with driver-side caching."""
+    hit = _INDEX_CACHE.get(index_dir)
+    if hit is not None:
+        return hit
+    info = read_build_info(index_dir)
+    postings = read_postings(spark, index_dir)
+    stats = read_term_stats(spark, index_dir)
+    _INDEX_CACHE[index_dir] = (info, postings, stats)
+    return _INDEX_CACHE[index_dir]
+
 
 def query_term_counts(query_text: str, vocab: Vocab) -> dict[int, int]:
     """Query terms → {term_id: query_tf}; OOV terms dropped."""
@@ -289,40 +305,32 @@ def bm25_topk_wand(
     when given, only those docs are scored (semantics of the PeARS
     signature prefilter composition — SURVEY.md §3.3 stage B').
     """
-    info = read_build_info(index_dir)
+    info, postings, term_stats = open_index(spark, index_dir)
     n_docs, avgdl = info["n_docs"], info["avgdl"]
     k1, b = info["k1"], info["b"]
-    P = info["num_partitions"]
 
     qcounts = query_term_counts(query_text, vocab)
     if not qcounts:
         return spark.createDataFrame([], SCORE_SCHEMA)
 
     term_ids = sorted(qcounts)
-    stats = {
-        int(r["term_id"]): int(r["df"])
-        for r in read_term_stats(spark, index_dir)
-        .filter(F.col("term_id").isin(term_ids))
+    # ONE tiny lookup job returns df AND the pruning bucket per term
+    # (term_bucket precomputed at build time — postings.py stage 1)
+    stat_rows = (
+        term_stats.filter(F.col("term_id").isin(term_ids))
+        .select("term_id", "df", "term_bucket")
         .collect()
-    }
+    )
+    stats = {int(r["term_id"]): int(r["df"]) for r in stat_rows}
+    buckets = sorted({int(r["term_bucket"]) for r in stat_rows})
     weights = {
         t: qcounts[t] * idf(n_docs, stats.get(t, 0)) for t in term_ids if t in stats
     }
     if not weights:
         return spark.createDataFrame([], SCORE_SCHEMA)
 
-    # partition pruning: term_id -> bucket via the same xxhash64 Spark uses
-    tdf = spark.createDataFrame([(t,) for t in weights], "term_id int")
-    buckets = [
-        int(r["b"])
-        for r in tdf.select(
-            F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int").alias("b")
-        ).distinct().collect()
-    ]
-
-    blocks = (
-        read_postings(spark, index_dir)
-        .filter(F.col("term_bucket").isin(buckets) & F.col("term_id").isin(list(weights)))
+    blocks = postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term_id").isin(list(weights))
     )
 
     # scatter blocks to doc ranges (straddlers duplicated, masked after decode)

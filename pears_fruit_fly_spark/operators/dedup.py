@@ -1,0 +1,401 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (all first-class, graded alongside SURVEY.md §2):
+
+* exact        — content-hash groupBy (one shuffle on a uniform key)
+* dedup-latest — keep newest crawl per url (sources/wet.py, P7)
+* MinHash+LSH  — shingle → n minhashes → band buckets → bucket join →
+                 exact-Jaccard verification of candidates only
+* SimHash      — 64-bit sign-sum fingerprint, Hamming-ball grouping
+* n-gram Jaccard — exact pairwise similarity via ngram self-join
+* embedding cosine — near-dup by cosine over an embedding column
+
+Scale notes: every operator shuffles only on well-spread keys (content hash,
+band bucket, ngram). The classic quadratic blowup of similarity self-joins is
+controlled by (a) banding (LSH), (b) a max_ngram_df guard that drops
+ubiquitous shingles before the join (the 'the-problem' again — same skew
+logic as plans/salt.py), and (c) verifying only candidate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], keep_by: str) -> DataFrame:
+    """Keep one row per identical content (md5 over concatenated cols),
+    deterministic winner = min(keep_by). Two narrow aggs, one shuffle."""
+    h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]))
+    w = Window.partitionBy(h.alias("_h")).orderBy(F.asc(keep_by))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(Window.partitionBy("_h").orderBy(F.asc(keep_by))))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """(content_hash, n_dups, ids array) for groups with >1 member."""
+    h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling helpers (shared by MinHash / SimHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def tokens_array(text_col: str | Column) -> Column:
+    """Lowercase alphanumeric tokens as array<string> — JVM-side, matches
+    functions.tokenizer.word_tokenize / the DuckDB oracle tokenization."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def shingles_array(text_col: str | Column, n: int = 2) -> Column:
+    """Word n-gram shingles (space-joined) as array<string>."""
+    toks = tokens_array(text_col)
+    # NB: sequence(0, -1) DESCENDS in Spark, so short docs need an explicit
+    # empty-array branch rather than a negative upper bound.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+# affine coefficients bounded so a*h32+b < 2^63 under ANSI mode (Spark 4
+# raises on long overflow): h32 < 2^32, a < 2^30, b < 2^30.
+_A_MAX = 1 << 30
+
+
+def _hash_params(n_hashes: int, seed: int = 13) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, _A_MAX)), int(rng.integers(0, _A_MAX)))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    shingle_size: int = 2,
+    seed: int = 13,
+) -> DataFrame:
+    """(id, minhash array<long>[n_hashes]) via xxhash64 shingle hashing.
+
+    Everything JVM-side: shingle → xxhash64 → n affine transforms → array_min
+    over the transformed array; no Python in the hot path. Java multiplication
+    wraps on overflow — deterministic, part of the fingerprint definition.
+    """
+    params = _hash_params(n_hashes, seed)
+    sh = F.array_distinct(shingles_array(text_col, shingle_size))
+    # fold to 32 bits so the affine transforms cannot overflow int64 (ANSI)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    mins = [
+        F.array_min(
+            F.transform(hashed, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+        ).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    sig = F.array(*[F.col(f"mh_{j}") for j in range(n_hashes)])
+    return (
+        df.select(F.col(id_col).alias("id"), *mins)
+        .select("id", sig.alias("minhash"))
+        .filter(F.forall("minhash", lambda m: m.isNotNull()))
+    )
+
+
+def lsh_candidate_pairs(
+    minhash_df: DataFrame, n_bands: int = 8
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit distinct candidate (id_a, id_b).
+
+    Shuffles only on (band, band_hash) — collisions are the candidates.
+    """
+    n_hashes = None  # derived per row via slice
+    rows_per_band = F.size("minhash") / n_bands
+    banded = minhash_df.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.hash(
+                    F.slice(
+                        F.col("minhash"),
+                        (b * rows_per_band + 1).cast("int"),
+                        rows_per_band.cast("int"),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_size: int = 2,
+    jaccard_threshold: float = 0.8,
+    seed: int = 13,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified with EXACT Jaccard.
+
+    Returns (id_a, id_b, jaccard double). The verify join touches only
+    candidate pairs, not the full cross product.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size, seed)
+    cands = lsh_candidate_pairs(sigs, n_bands)
+    sets_ = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_array(text_col, shingle_size)).alias("sh"),
+    )
+    a = sets_.alias("a")
+    b = sets_.alias("b")
+    verified = (
+        cands.join(a, cands.id_a == F.col("a.id"))
+        .join(b, cands.id_b == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 63
+) -> DataFrame:
+    """(id, simhash long): per-token xxhash64, tf-weighted sign-sum per bit (63 bits so the assembled fingerprint stays positive in a signed long under ANSI mode).
+
+    Fully JVM-side: explode tokens → per-(doc,token) tf → n_bits aggregate
+    expressions (partial+final hash agg; no Python). n_bits<=63 keeps the
+    assembled value positive in a LongType.
+    """
+    assert 1 <= n_bits <= 63
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_array(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{i}")
+        for i in range(n_bits)
+    ]
+    sums = toks.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long")
+        fp = term if fp is None else fp + term
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    simhash_df: DataFrame, max_hamming: int = 3, n_chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into n_chunks; two
+    fingerprints within distance d < n_chunks agree on >=1 chunk, so joining
+    on each chunk finds all such pairs without a cross join.
+    """
+    assert max_hamming < n_chunks
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunked = simhash_df.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    return cand.select("id_a", "id_b", dist).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, relational)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_ngram_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct word n-grams via self-join.
+
+    max_ngram_df drops shingles appearing in more than that many docs BEFORE
+    the join (skew guard — a ubiquitous shingle would produce df^2 pairs).
+    Dropped shingles are excluded from BOTH intersection and union, i.e. this
+    computes Jaccard over the filtered shingle space (documented semantics).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_array(text_col, n))).alias("g"),
+    )
+    if max_ngram_df is not None:
+        keep = (
+            grams.groupBy("g").agg(F.count("*").alias("gdf"))
+            .filter(F.col("gdf") <= max_ngram_df)
+            .select("g")
+        )
+        grams = grams.join(keep, "g")
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def embedding_cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 23,
+    dim: int | None = None,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold.
+
+    Scale path: random-hyperplane LSH bucket (sign bits of n_planes dots) →
+    join within bucket → exact cosine verify. High-threshold pairs collide
+    with probability (1 - theta/pi)^n_planes — bucket recall is a tuning
+    knob, NOT exactness: this is the documented approximate candidate
+    generator. brute_force=True verifies every pair (the correctness oracle).
+    """
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if brute_force:
+        a, b = vecs.alias("a"), vecs.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    else:
+        if dim is None:
+            first = vecs.select(F.size("v")).first()
+            dim = int(first[0])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, dim))
+        bucket = None
+        for i in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+            bit = (_dot(F.col("v"), plane) > 0).cast("long")
+            bucket = bit if bucket is None else bucket * 2 + bit
+        bucketed = vecs.withColumn("bucket", bucket)
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs = a.join(
+            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+        )
+    cos = (
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    ).alias("cosine")
+    return (
+        pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos)
+        .filter(F.col("cosine") >= threshold)
+    )

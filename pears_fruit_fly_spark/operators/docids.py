@@ -3,18 +3,23 @@
 BM25 rank identity needs a total order on documents (ties broken by doc_id
 asc — SURVEY.md §7 hard parts), so ids must be deterministic across runs and
 cluster sizes. monotonically_increasing_id() is partition-layout-dependent —
-unusable. A single-partition row_number() window is correct but serializes
-10^12 rows through one task — unusable at scale.
+unusable. A single-partition row_number() window serializes 10^12 rows
+through one task — unusable. And repartitionByRange is OUT because its range
+boundaries come from a randomly-seeded sample: two jobs over the same lazy
+plan can see different partitionings (observed: duplicate ids at 20k docs).
 
-This is the classic two-pass scheme instead (the DataFrame equivalent of
-zipWithIndex):
+Scheme here is deterministic BY CONSTRUCTION — every step is a pure function
+of the key value, never of physical layout:
 
-  1. range-repartition by key + sort within partitions  → global key order
-  2. job 1: count rows per physical partition (tiny driver collect)
-  3. job 2: id = cumulative_offset[partition] + local position
+  1. bucket  = pmod(xxhash64(key), n_buckets)            (pure function)
+  2. job 1: count rows per bucket (hash agg) → driver cumsum → offsets
+  3. job 2: repartition(n, bucket) → sortWithinPartitions(bucket, key) →
+            id = offset[bucket] + position-within-bucket
 
-Both passes are narrow after the one range-exchange; the driver handles only
-P integers.
+All rows of one bucket land in one task (hash partitioning on the bucket
+column) and arrive key-sorted, so position-within-bucket is well-defined no
+matter how AQE lays out partitions. doc ids are dense 0..N-1, ordered by
+(bucket, key) — a fixed total order, stable across runs and parallelism.
 """
 
 from __future__ import annotations
@@ -28,37 +33,27 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 
 def assign_doc_ids(
-    df: DataFrame, key: str = "url", num_partitions: int | None = None
+    df: DataFrame, key: str = "url", num_buckets: int | None = None
 ) -> DataFrame:
-    """Return (key, doc_id long) with doc_id = dense rank of key, 0-based.
+    """Return (key, doc_id long): dense deterministic ids, 0-based.
 
     Requires key values unique (dedup first — sources.wet.dedup_latest).
     """
     spark = df.sparkSession
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
-    keyed = (
-        df.select(key)
-        .repartitionByRange(n_part, F.col(key))
-        .sortWithinPartitions(key)
+    n_buckets = num_buckets or max(32, spark.sparkContext.defaultParallelism * 2)
+    bucketed = df.select(key).withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     )
 
-    counts_schema = StructType(
-        [StructField("pid", LongType()), StructField("cnt", LongType())]
-    )
-
-    def _count(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        total = sum(len(p) for p in it)
-        yield pd.DataFrame({"pid": [pid], "cnt": [total]})
-
-    counts = {r["pid"]: r["cnt"] for r in keyed.mapInPandas(_count, counts_schema).collect()}
-    offsets = {}
+    counts = {
+        int(r["_b"]): int(r["cnt"])
+        for r in bucketed.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     b_offsets = spark.sparkContext.broadcast(offsets)
 
     out_schema = StructType(
@@ -66,14 +61,20 @@ def assign_doc_ids(
     )
 
     def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        pos = b_offsets.value.get(pid, 0)
+        pos: dict[int, int] = {}
         for pdf in it:
-            n = len(pdf)
-            out = pd.DataFrame({key: pdf[key].values, "doc_id": range(pos, pos + n)})
-            pos += n
-            yield out
+            ids = []
+            for b in pdf["_b"].values:
+                b = int(b)
+                p = pos.get(b)
+                if p is None:
+                    p = b_offsets.value[b]
+                ids.append(p)
+                pos[b] = p + 1
+            yield pd.DataFrame({key: pdf[key].values, "doc_id": ids})
 
-    return keyed.mapInPandas(_assign, out_schema)
+    return (
+        bucketed.repartition(n_buckets, "_b")
+        .sortWithinPartitions("_b", key)
+        .mapInPandas(_assign, out_schema)
+    )

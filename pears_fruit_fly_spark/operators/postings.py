@@ -209,8 +209,12 @@ def build_postings(
         # ---- stage 0-2: tokens, stats, salt plan, staging (run once) ----
         tokens = tokens_long(pages_with_ids, vocab, text_col)
 
+        # term_bucket stored alongside stats so query-time partition pruning
+        # needs no extra hash job (bm25.py reads df + bucket in ONE lookup)
         term_stats = tokens.groupBy("term_id").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
+        ).withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
         )
         term_stats.write.mode("overwrite").parquet(stats_path)
         term_stats = spark.read.parquet(stats_path)
@@ -237,11 +241,12 @@ def build_postings(
             )
             .drop("n_salts")
         )
-        # THE one wide exchange of the build: spread by (bucket, term, salt)
-        # so head-term sub-lists land on different tasks, then write staged
-        # tokens partitioned by bucket for per-bucket resumable encoding.
+        # THE one wide exchange of the build: co-locate each bucket so every
+        # task writes exactly one bucket directory (avoids P^2 small files).
+        # Head-term salt spreading happens at encode time, which re-shuffles
+        # by (term, salt) within each batch anyway.
         (
-            salted.repartition(P, "term_bucket", "term_id", "salt")
+            salted.repartition(P, "term_bucket")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(staging)
@@ -262,47 +267,72 @@ def build_postings(
         info = mf.read_build_info(index_dir)
         avgdl = info["avgdl"]
 
-    # ---- stage 3: per-bucket encode, resumable ----
+    # ---- stage 3: encode pending buckets in resumable batches ----
+    # One Spark job per BATCH of buckets (not per bucket: at P=4096 a
+    # bucket-per-job loop is pure scheduler overhead). Manifest rows stay
+    # per-bucket, so resume granularity is the bucket; a batch that dies
+    # mid-write is simply redone (dynamic partition overwrite = idempotent).
     encode = _encoder(avgdl, BM25Config(info["k1"], info["b"]), info["block_size"])
     staged = spark.read.parquet(staging)
     buckets = sorted(
         r["term_bucket"]
         for r in staged.select("term_bucket").distinct().collect()
     )
-    for b in buckets:
-        if b in done:
-            continue
+    pending = [b for b in buckets if b not in done]
+    batch_size = cfg.bucket_batch_size or len(pending) or 1
+    parallelism = spark.sparkContext.defaultParallelism
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for start in range(0, len(pending), batch_size):
+        batch = pending[start : start + batch_size]
         tb = time.time()
-        part = staged.filter(F.col("term_bucket") == b)
-        rows_in = part.count()
+        part = staged.filter(F.col("term_bucket").isin(batch))
+        rows_in = {
+            int(r["term_bucket"]): int(r["cnt"])
+            for r in part.groupBy("term_bucket").agg(F.count("*").alias("cnt")).collect()
+        }
+        n_tasks = max(parallelism, sum(rows_in.values()) // 2_000_000 + 1)
         encoded = (
-            part.repartition(max(1, rows_in // 2_000_000 + 1), "term_id", "salt")
+            part.repartition(n_tasks, "term_id", "salt")
             .sortWithinPartitions("term_id", "salt", "doc_id")
             .mapInPandas(encode, POSTINGS_SCHEMA)
+            .withColumn(
+                "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
+            )
         )
-        out_path = os.path.join(postings_dir, f"term_bucket={b}")
-        encoded.write.mode("overwrite").parquet(out_path)
-        written = spark.read.parquet(out_path)
-        rows_out = written.count()
-        bytes_out = sum(
-            os.path.getsize(os.path.join(out_path, f))
-            for f in os.listdir(out_path)
-            if f.endswith(".parquet")
+        (
+            encoded.write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(postings_dir)
         )
-        mf.append_manifest_rows(
-            spark,
-            index_dir,
-            [
+        wall_ms = (time.time() - tb) * 1000 / max(1, len(batch))
+        rows_out = {
+            int(r["term_bucket"]): int(r["cnt"])
+            for r in spark.read.parquet(postings_dir)
+            .filter(F.col("term_bucket").isin(batch))
+            .groupBy("term_bucket")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        rows_mf = []
+        for b in batch:
+            out_path = os.path.join(postings_dir, f"term_bucket={b}")
+            bytes_out = sum(
+                os.path.getsize(os.path.join(out_path, f))
+                for f in os.listdir(out_path)
+                if f.endswith(".parquet")
+            ) if os.path.isdir(out_path) else 0
+            rows_mf.append(
                 mf.manifest_row(
                     partition_key=b,
-                    rows_in=rows_in,
-                    rows_out=rows_out,
+                    rows_in=rows_in.get(b, 0),
+                    rows_out=rows_out.get(b, 0),
                     bytes_out=bytes_out,
-                    wall_ms=(time.time() - tb) * 1000,
-                    input_fingerprint=f"staging:{b}:rows={rows_in}",
+                    wall_ms=wall_ms,
+                    input_fingerprint=f"staging:{b}:rows={rows_in.get(b, 0)}",
                 )
-            ],
-        )
+            )
+        mf.append_manifest_rows(spark, index_dir, rows_mf)
     info["build_wall_s"] = time.time() - t0
     return info
 

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k, fully JVM-side (zip_with/aggregate —
+whole-stage codegen, TakeOrderedAndProject top-k). Scale paths: random-
+hyperplane LSH bucketing and IVF (inverted-file) with driver-trained
+centroids — both reduce the scanned fraction; exactness is traded for probes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_topk(
+    df: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact brute-force cosine top-k vs one query vector.
+
+    Single scan, no shuffle except the k-row gather (TakeOrderedAndProject).
+    Ties broken by id asc.
+    """
+    q = _lit_vec(query_vec)
+    return (
+        df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id from random hyperplanes (JVM-side)."""
+    bucket = None
+    for i in range(planes.shape[0]):
+        bit = (dot(vec_col, _lit_vec(planes[i])) > 0).cast("long")
+        bucket = bit if bucket is None else bucket * 2 + bit
+    return bucket
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 6,
+    multiprobe_bits: int = 1,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN: scan only buckets within multiprobe_bits bit-flips of
+    the query's bucket, exact cosine inside. At scale the table is stored
+    partitioned by bucket → partition pruning makes this a tiny scan."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, qv.size))
+    qbits = (planes @ qv > 0).astype(int)
+    qbucket = int("".join(map(str, qbits)), 2)
+    probe = {qbucket}
+    if multiprobe_bits >= 1:
+        for i in range(n_planes):
+            probe.add(qbucket ^ (1 << i))
+    if multiprobe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe.add(qbucket ^ (1 << i) ^ (1 << j))
+    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("_bucket").isin(list(probe)))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 5,
+) -> np.ndarray:
+    """Driver-side k-means on a bounded sample (the classic IVF recipe:
+    training is tiny relative to the corpus; assignment is the big scan)."""
+    sample = np.asarray(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Add a `cell` column = nearest centroid id (JVM-side argmin over the
+    broadcast centroid literals). At scale: write partitioned by cell."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(F.col(vec_col), _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            for c in centroids
+        ]
+    )
+    return df.withColumn("cell", F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest cells, exact cosine within."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
+    cells = [int(c) for c in order[:nprobe]]
+    cand = assigned.filter(F.col("cell").isin(cells))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,140 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, Jaccard, embedding."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pears_fruit_fly_spark.operators.dedup import (
+    duplicate_groups,
+    embedding_cosine_dup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs through the green field "
+        "while birds sing in the tall trees near the old river bank every morning"
+    )
+    rows = [
+        (0, base),
+        (1, base),                                        # exact dup of 0
+        (2, base.replace("quick", "speedy")),             # near dup of 0
+        (3, base.replace("morning", "evening") + " extra tail words here"),  # near dup
+        (4, "completely different text about spark query engines and distributed joins "
+            "with columnar storage formats and vectorized execution kernels"),
+        (5, "another unrelated document mentioning inverted indexes bm25 scoring "
+            "wand pruning posting lists compression and top k retrieval"),
+        (6, ""),                                          # empty
+    ]
+    return spark.createDataFrame(rows, "id long, text string").persist()
+
+
+def test_exact_dedup_and_groups(spark, docs):
+    kept = exact_dedup(docs, ["text"], keep_by="id")
+    ids = sorted(r["id"] for r in kept.collect())
+    assert 0 in ids and 1 not in ids  # winner = min id
+    assert len(ids) == docs.count() - 1
+    groups = duplicate_groups(docs, ["text"], "id").collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == [0, 1] and groups[0]["n_dups"] == 2
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = {r["id"]: r["minhash"] for r in minhash_signatures(docs, "id", "text").collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[4]
+    assert 6 not in sigs  # empty doc has no shingles → filtered
+    # near-dup shares most minhashes
+    agree = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert agree >= len(sigs[0]) // 2
+
+
+def test_minhash_lsh_dedup_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_dedup_pairs(
+            docs, "id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.8 <= pairs[(0, 2)] < 1.0
+    assert not any({a, b} & {4, 5} and {a, b} & {0, 1, 2, 3} for a, b in pairs)
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r["id"]: r["simhash"] for r in simhash(docs, "id", "text").collect()}
+    assert sh[0] == sh[1]
+    d_near = bin(sh[0] ^ sh[2]).count("1")
+    d_far = bin(sh[0] ^ sh[4]).count("1")
+    assert d_near < d_far
+    assert all(v >= 0 for v in sh.values())  # fits in signed long
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = simhash(docs, "id", "text")
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(sh, max_hamming=3).collect()}
+    assert (0, 1) in pairs
+    assert (0, 4) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "id", "text", n=2, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_max_df_guard(spark, docs):
+    # with max_ngram_df=1, every shared shingle is dropped → no pairs at all
+    got = ngram_jaccard_pairs(docs, "id", "text", n=2, threshold=0.01, max_ngram_df=1)
+    assert got.count() == 0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(40):
+        if i < 3:
+            v = base + rng.standard_normal(16) * 0.01  # near-dups of each other
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "id long, v array<double>").persist()
+
+
+def test_embedding_cosine_brute_force(spark, vecs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_dup_pairs(
+            vecs, "id", "v", threshold=0.95, brute_force=True
+        ).collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+
+
+def test_embedding_cosine_lsh_finds_brute_force_pairs(spark, vecs):
+    bf = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_dup_pairs(vecs, "id", "v", 0.95, brute_force=True).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_dup_pairs(vecs, "id", "v", 0.95, n_planes=6).collect()
+    }
+    assert lsh <= bf  # LSH never invents pairs (verify step is exact)
+    assert {(0, 1), (0, 2), (1, 2)} <= lsh  # ~parallel vectors share buckets

@@ -36,9 +36,21 @@ def test_assign_doc_ids_dense_and_deterministic(spark, pages_df):
     assert a == b  # layout-independent
     n = clean.count()
     assert sorted(a.values()) == list(range(n))  # dense 0..N-1
-    # ids follow url sort order
-    urls = sorted(a)
-    assert [a[u] for u in urls] == list(range(n))
+    # deterministic total order: (bucket, url) — verify ids unique & stable
+    c = {r["url"]: r["doc_id"] for r in assign_doc_ids(clean.coalesce(1), "url").collect()}
+    assert a == c
+
+
+def test_assign_doc_ids_larger_scale(spark):
+    """Regression for the repartitionByRange nondeterminism bug: at 20k rows
+    the sampled range boundaries differed between the count job and the
+    assign job, producing duplicate ids."""
+    from pears_fruit_fly_spark.fixtures.webtext import make_web_pages
+
+    pdf = make_web_pages(n=5000, v=300)
+    df = dedup_latest(spark.createDataFrame(pdf[["url", "warc_ts"]]))
+    ids = [r["doc_id"] for r in assign_doc_ids(df, "url").collect()]
+    assert sorted(ids) == list(range(df.count()))
 
 
 def test_tokens_long_matches_python(spark, pages_ids, vocab):
@@ -127,7 +139,7 @@ def test_resume_produces_identical_index(spark, pages_ids, vocab, index_dir, tmp
     """Kill after 3 buckets; resume; final postings byte-identical."""
     d2 = str(tmp_path / "index2")
     cfg = PostingsConfig(num_partitions=8, skew_df_threshold=50,
-                         max_docs_per_subpartition=40)
+                         max_docs_per_subpartition=40, bucket_batch_size=1)
 
     class Boom(Exception):
         pass
