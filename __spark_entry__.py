@@ -509,6 +509,114 @@ def q_supplier_nation_rollup(spark, sf_dir):
     )
 
 
+
+
+def q_exact_dedup_keep(spark, sf_dir):
+    """Exact dedup winners: min doc_id per identical text (P6/P7 family)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_top_bigrams_per_source(spark, sf_dir):
+    """Per-group ranking window: top-3 bigrams per source."""
+    from pears_fruit_fly_spark.operators.dedup import shingles_array
+
+    g = _docs(spark, sf_dir).select(
+        "source", F.explode(shingles_array("text", 2)).alias("bigram")
+    )
+    counts = g.groupBy("source", "bigram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — lag + running sum
+    windows; the batch form of stateful session windows."""
+    ev = _read(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gapped = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.unix_timestamp("ts")
+             - F.unix_timestamp(F.lag("ts").over(w_user))) > 1800,
+            1,
+        ).otherwise(0).cast("long"),
+    ).withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w_user).isNull(), F.lit(1).cast("long")).otherwise(
+            F.col("new_sess")
+        ),
+    )
+    sess = gapped.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q_orders_running_total(spark, sf_dir):
+    """Cumulative frame window: running spend per customer by order date."""
+    orders = _read(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)")).over(w).cast("double"),
+            2,
+        ).alias("running_spend"),
+    )
+
+
+def q_knn_label_precision(spark, sf_dir):
+    """Embedding kNN label precision (the reference's prec@k eval,
+    web_map/umap/fly.py:168-179, over cosine NN): mean fraction of each
+    vector's 5 nearest neighbours sharing its label."""
+    from pears_fruit_fly_spark.operators.similarity import cosine
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("label").alias("la"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("label").alias("lb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a", "la", "id_b", "lb",
+            F.round(cosine(F.col("va"), F.col("vb")), 9).alias("c"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("c"), F.asc("id_b"))
+    top = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    per = top.groupBy("id_a").agg(
+        F.round(F.avg((F.col("lb") == F.col("la")).cast("double")), 6).alias("prec5")
+    )
+    return per.select(F.col("id_a").alias("vec_id"), "prec5")
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: fly hashing, compressed index, LSH)
 # ---------------------------------------------------------------------------
@@ -623,6 +731,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customers": q_top_customers,
         "q_events_daily": q_events_daily,
         "q_supplier_nation_rollup": q_supplier_nation_rollup,
+        "q_exact_dedup_keep": q_exact_dedup_keep,
+        "q_top_bigrams_per_source": q_top_bigrams_per_source,
+        "q_events_sessionize": q_events_sessionize,
+        "q_orders_running_total": q_orders_running_total,
+        "q_knn_label_precision": q_knn_label_precision,
         # rows-only (non-SQL-expressible)
         "q_fly_signatures": q_fly_signatures,
         "q_hamming_topk": q_hamming_topk,
@@ -861,6 +974,54 @@ SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
         "q_events_daily": (
             "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, "
             "round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "q_exact_dedup_keep": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1"
+        ),
+        "q_top_bigrams_per_source": (
+            "WITH g AS (SELECT source, unnest(list_transform(range(1, len(toks)), "
+            "  i -> toks[i] || ' ' || toks[i+1])) AS bigram "
+            "FROM (SELECT source, list_filter(regexp_split_to_array(lower(text), "
+            "  '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)), "
+            "c AS (SELECT source, bigram, count(*) AS cnt FROM g GROUP BY 1, 2) "
+            "SELECT source, bigram, cnt, CAST(rank AS INT) AS rank FROM ("
+            "  SELECT source, bigram, cnt, row_number() OVER ("
+            "    PARTITION BY source ORDER BY cnt DESC, bigram ASC) AS rank FROM c)"
+            " WHERE rank <= 3"
+        ),
+        "q_events_sessionize": (
+            "WITH gapped AS (SELECT user_id, event_id, ts, CASE WHEN "
+            "  lag(ts) OVER w IS NULL THEN 1 WHEN "
+            "  epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)), "
+            "sess AS (SELECT user_id, event_id, ts, CAST(sum(ns) OVER ("
+            "  PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id "
+            "  FROM gapped) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "min(ts) AS session_start, max(ts) AS session_end "
+            "FROM sess GROUP BY 1, 2"
+        ),
+        "q_orders_running_total": (
+            "SELECT o_custkey, o_orderkey, "
+            "round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER ("
+            "  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) "
+            "AS running_spend FROM orders"
+        ),
+        "q_knn_label_precision": (
+            "WITH pairs AS (SELECT a.vec_id AS id_a, a.label AS la, "
+            "  b.vec_id AS id_b, b.label AS lb, "
+            "  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "  CAST(b.embedding AS DOUBLE[])), 9) AS c "
+            "  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id), "
+            "top AS (SELECT id_a, la, lb FROM ("
+            "  SELECT id_a, la, lb, row_number() OVER ("
+            "    PARTITION BY id_a ORDER BY c DESC, id_b ASC) AS rn FROM pairs) "
+            "  WHERE rn <= 5) "
+            "SELECT id_a AS vec_id, round(avg(CASE WHEN lb = la THEN 1.0 ELSE 0.0 END), 6) "
+            "AS prec5 FROM top GROUP BY 1"
         ),
         "q_supplier_nation_rollup": (
             "SELECT r_name, n_name, count(*) AS n_suppliers, "

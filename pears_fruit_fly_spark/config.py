@@ -55,6 +55,9 @@ class PostingsConfig:
     bucket_batch_size: int | None = None  # buckets encoded per Spark job;
     # None = all pending in one job (fastest); smaller = finer resume
     # granularity (checkpoint manifest rows are always per-bucket)
+    jvm_tokenizer: bool = True   # whitespace tokenize fully JVM-side
+    # (explode + broadcast vocab join, zero Python); False = Python
+    # mapInPandas path, required for SentencePiece tokenization
 
 
 INGEST_MIN_CHARS = 1000  # ref: common_crawl_processor/cc_process_wet.py:77

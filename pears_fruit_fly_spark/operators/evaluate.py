@@ -1,0 +1,104 @@
+"""Evaluation harness: prec@k over Hamming NN and logistic-regression
+classification on signatures — the reference's extrinsic quality checks
+(prec@k: web_map/umap/fly.py:168-179; LR eval: fruit_fly/classify.py:40-47).
+
+Product queries never depend on these; they exist so fly hyperparameters can
+be compared the way the reference compares them, but distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hamming_prec_at_k(signatures_with_labels: DataFrame, k: int = 10) -> float:
+    """Mean fraction of each doc's k nearest Hamming neighbours sharing its
+    label (self excluded) — the reference's evaluation metric
+    (web_map/umap/fly.py:168-179), expressed as one join + ranking window.
+
+    Input: (url, sig array<long>, label string). All-pairs by design (the
+    eval corpus is small, like the reference's val sets); product-path NN
+    queries use operators.signatures.hamming_topk instead.
+    """
+    a = signatures_with_labels.select(
+        F.col("url").alias("url_a"), F.col("sig").alias("sig_a"),
+        F.col("label").alias("label_a"),
+    )
+    b = signatures_with_labels.select(
+        F.col("url").alias("url_b"), F.col("sig").alias("sig_b"),
+        F.col("label").alias("label_b"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("url_a") != F.col("url_b"))
+        .select("url_a", "label_a", "url_b", "label_b", dist.alias("d"))
+    )
+    w = Window.partitionBy("url_a").orderBy(F.asc("d"), F.asc("url_b"))
+    topk = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per_doc = topk.groupBy("url_a", "label_a").agg(
+        F.avg((F.col("label_b") == F.col("label_a")).cast("double")).alias("p")
+    )
+    row = per_doc.agg(F.avg("p").alias("prec")).collect()[0]
+    return float(row["prec"])
+
+
+def signature_classification_accuracy(
+    signatures_with_labels: DataFrame,
+    kc_size: int,
+    train_frac: float = 0.6,
+    seed: int = 111,
+    max_iter: int = 50,
+    reg_param: float = 1.0,
+) -> float:
+    """Train/test logistic regression on unpacked signature bits.
+
+    Mirrors fruit_fly/classify.py:40-47 (multi-class LR on hashes; the
+    reference's C maps to 1/regParam; split seed 111 matches
+    datasets/prepare_datasets.py:36). Uses spark.ml end-to-end.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StringIndexer
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql.types import StructField, StructType
+
+    from pears_fruit_fly_spark.functions.fly import unpack_signatures
+    import numpy as np
+    import pandas as pd
+
+    def _unpack(batches):
+        for pdf in batches:
+            words = np.array(pdf["sig"].tolist(), dtype=np.int64)
+            bits = unpack_signatures(words, kc_size)
+            yield pd.DataFrame(
+                {
+                    "label_str": pdf["label"].values,
+                    "features_arr": [row.astype(float).tolist() for row in bits],
+                }
+            )
+
+    schema = "label_str string, features_arr array<double>"
+    unpacked = signatures_with_labels.select("sig", "label").mapInPandas(
+        _unpack, schema
+    )
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    data = unpacked.select(
+        "label_str", to_vec("features_arr").alias("features")
+    )
+    indexed = StringIndexer(inputCol="label_str", outputCol="label").fit(data)
+    data = indexed.transform(data)
+    train, test = data.randomSplit([train_frac, 1 - train_frac], seed=seed)
+    lr = LogisticRegression(maxIter=max_iter, regParam=1.0 / reg_param,
+                            family="multinomial")
+    model = lr.fit(train)
+    pred = model.transform(test)
+    acc = pred.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("a")
+    ).collect()[0]["a"]
+    return float(acc)

@@ -119,6 +119,46 @@ def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text") -> DataF
     return pages.select("doc_id", text_col).mapInPandas(_tok, TOKENS_SCHEMA)
 
 
+def tokens_long_jvm(
+    pages: DataFrame, vocab: Vocab, text_col: str = "text"
+) -> DataFrame:
+    """JVM-only tokens_long for the whitespace tokenizer: split → explode →
+    broadcast vocab join → two hash aggs. Zero Python in the path, fully
+    whole-stage-codegen; Catalyst's partial (map-side) aggregation means the
+    explode never shuffles raw tokens — only distinct (doc, term) pairs.
+
+    Semantics identical to tokens_long (verified in tests): split on
+    space/newline, drop empties, drop OOV, tf per (doc, term),
+    dl = total in-vocab tokens. Use this for the index build whenever the
+    tokenizer is whitespace (SPM tokenization still needs the Python path).
+    """
+    spark = pages.sparkSession
+    vdf = vocab_to_df_minimal(spark, vocab)
+    toks = pages.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col(text_col), "[ \n]"), lambda t: t != "")
+        ).alias("term"),
+    )
+    hits = toks.join(F.broadcast(vdf), "term")
+    tf = hits.groupBy("doc_id", "term_id").agg(
+        F.count("*").cast("int").alias("tf")
+    )
+    from pyspark.sql.window import Window
+
+    dl = F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
+    return tf.select("doc_id", "term_id", "tf", dl.alias("dl"))
+
+
+def vocab_to_df_minimal(spark: SparkSession, vocab: Vocab) -> DataFrame:
+    """(term, term_id) dimension for the broadcast tokenize join."""
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"term": vocab.terms, "term_id": np.arange(vocab.size, dtype=np.int32)}
+        )
+    )
+
+
 def _encoder(avgdl: float, bm25: BM25Config, block_size: int):
     """mapInPandas encoder over a partition sorted by (term_id, salt, doc_id).
 
@@ -205,9 +245,14 @@ def build_postings(
     P = cfg.num_partitions
 
     done = mf.completed_partitions(spark, index_dir)
+    stage_s: dict[str, float] = {}
     if not os.path.exists(os.path.join(index_dir, "_build_info.json")):
         # ---- stage 0-2: tokens, stats, salt plan, staging (run once) ----
-        tokens = tokens_long(pages_with_ids, vocab, text_col)
+        ts = time.time()
+        if cfg.jvm_tokenizer:
+            tokens = tokens_long_jvm(pages_with_ids, vocab, text_col)
+        else:
+            tokens = tokens_long(pages_with_ids, vocab, text_col)
 
         # term_bucket stored alongside stats so query-time partition pruning
         # needs no extra hash job (bm25.py reads df + bucket in ONE lookup)
@@ -218,6 +263,8 @@ def build_postings(
         )
         term_stats.write.mode("overwrite").parquet(stats_path)
         term_stats = spark.read.parquet(stats_path)
+        stage_s["term_stats"] = time.time() - ts
+        ts = time.time()
 
         agg = pages_with_ids.agg(F.count("*").alias("n")).collect()[0]
         n_docs = int(agg["n"])
@@ -225,6 +272,8 @@ def build_postings(
             term_stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
         )
         avgdl = total_tokens / max(1, n_docs)
+        stage_s["collection_stats"] = time.time() - ts
+        ts = time.time()
 
         salt_plan = build_salt_plan(
             term_stats, cfg.skew_df_threshold, cfg.max_docs_per_subpartition
@@ -251,6 +300,7 @@ def build_postings(
             .partitionBy("term_bucket")
             .parquet(staging)
         )
+        stage_s["staging"] = time.time() - ts
         info = {
             "n_docs": n_docs,
             "total_tokens": total_tokens,
@@ -305,6 +355,7 @@ def build_postings(
             .partitionBy("term_bucket")
             .parquet(postings_dir)
         )
+        stage_s["encode"] = stage_s.get("encode", 0.0) + (time.time() - tb)
         wall_ms = (time.time() - tb) * 1000 / max(1, len(batch))
         rows_out = {
             int(r["term_bucket"]): int(r["cnt"])
@@ -333,7 +384,9 @@ def build_postings(
                 )
             )
         mf.append_manifest_rows(spark, index_dir, rows_mf)
+    stage_s["encode"] = stage_s.get("encode", 0.0)
     info["build_wall_s"] = time.time() - t0
+    info["stage_seconds"] = {k: round(v, 3) for k, v in stage_s.items()}
     return info
 
 

@@ -11,6 +11,12 @@ import os
 
 from pyspark.sql import SparkSession
 
+# One BLAS thread per task: Spark already runs one task per core, so
+# multi-threaded NumPy inside pandas UDF workers oversubscribes the box
+# (32 tasks x N BLAS threads). Set before the JVM forks python workers.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def get_spark(
     app_name: str = "pears-fruit-fly-spark",
@@ -22,8 +28,10 @@ def get_spark(
 
     - AQE on: post-shuffle coalesce + skew-join splitting are load-bearing at
       scale (Zipf head terms, see plans/salt.py for the explicit handling).
-    - Arrow on with ~2k-row batches: mirrors the reference's vectorized batch
-      size (ref: fruit_fly/hash.py:121,136 — 2000-doc matrix chunks).
+    - Arrow on with 512-row batches: same vectorized-batch idea as the
+      reference's 2000-doc matrix chunks (ref: fruit_fly/hash.py:121,136);
+      512 measured faster under full-core occupancy here (smaller per-batch
+      arrays -> less memory churn), identical results either way.
     - shuffle partitions default to 2x cores locally; on a real cluster this
       is set to ~2-3x total executor cores via spark-submit conf.
     """
@@ -36,7 +44,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
