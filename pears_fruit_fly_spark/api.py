@@ -1,0 +1,133 @@
+"""High-level search-engine facade: the one-stop replacement surface for a
+PeARS-fruit-fly user. Wraps ingest → signatures → index build → query into a
+directory-rooted engine object.
+
+    eng = SearchEngine(spark, "engine_dir/", vocab, FlyConfig(...), PostingsConfig(...))
+    eng.index(pages_df)                      # resumable; re-call to append/resume
+    eng.search("some query", k=10)           # BM25 block-max WAND
+    eng.search("some query", k=10, mode="hamming")   # fruit-fly NN (ref semantics)
+    eng.search("some query", k=10, mode="hybrid")    # Hamming prefilter -> BM25
+
+Everything on disk: <dir>/signatures, <dir>/index/{postings,term_stats,
+_manifest,_build_info.json}, <dir>/docmap (url <-> doc_id).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pears_fruit_fly_spark.config import BM25Config, FlyConfig, PostingsConfig
+from pears_fruit_fly_spark.functions.fly import make_projection_matrix
+from pears_fruit_fly_spark.functions.vocab import Vocab
+from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand
+from pears_fruit_fly_spark.operators.docids import assign_doc_ids
+from pears_fruit_fly_spark.operators.postings import build_postings
+from pears_fruit_fly_spark.operators.signatures import (
+    build_signatures,
+    featurize_query,
+    hamming_topk,
+)
+from pears_fruit_fly_spark.sources.wet import dedup_latest
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        engine_dir: str,
+        vocab: Vocab,
+        fly_cfg: FlyConfig | None = None,
+        postings_cfg: PostingsConfig | None = None,
+        bm25_cfg: BM25Config | None = None,
+    ):
+        self.spark = spark
+        self.dir = engine_dir
+        self.vocab = vocab
+        self.fly_cfg = fly_cfg or FlyConfig(pn_size=vocab.size)
+        self.postings_cfg = postings_cfg or PostingsConfig()
+        self.bm25_cfg = bm25_cfg or BM25Config()
+        self.projection = make_projection_matrix(
+            vocab.size, self.fly_cfg.kc_size, self.fly_cfg.proj_size,
+            self.fly_cfg.seed,
+        )
+
+    # -- paths ------------------------------------------------------------
+    @property
+    def index_dir(self) -> str:
+        return os.path.join(self.dir, "index")
+
+    @property
+    def sig_path(self) -> str:
+        return os.path.join(self.dir, "signatures")
+
+    @property
+    def docmap_path(self) -> str:
+        return os.path.join(self.dir, "docmap")
+
+    # -- build ------------------------------------------------------------
+    def index(self, pages: DataFrame, text_col: str = "text") -> dict:
+        """Full build: dedup-latest → doc ids → signatures → postings.
+        Resumable: a re-run with the same engine_dir skips completed index
+        buckets (checkpoint manifest)."""
+        clean = dedup_latest(pages)
+        ids = assign_doc_ids(clean)
+        ids.write.mode("overwrite").parquet(self.docmap_path)
+        docmap = self.spark.read.parquet(self.docmap_path)
+        pages_ids = clean.join(docmap, "url")
+
+        sigs = build_signatures(
+            self.spark, pages_ids, self.vocab, self.fly_cfg,
+            text_col=text_col, projection=self.projection,
+        ).join(docmap, "url")
+        sigs.write.mode("overwrite").parquet(self.sig_path)
+
+        return build_postings(
+            self.spark, pages_ids, self.vocab, self.index_dir,
+            bm25=self.bm25_cfg, cfg=self.postings_cfg, text_col=text_col,
+        )
+
+    # -- query ------------------------------------------------------------
+    def search(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "bm25",
+        prefilter_k: int = 1000,
+        n_ranges: int = 16,
+    ) -> DataFrame:
+        """Top-k search. Returns (url, doc_id, score|hamming)."""
+        docmap = self.spark.read.parquet(self.docmap_path)
+        if mode == "hamming":
+            sigs = self.spark.read.parquet(self.sig_path)
+            qsig = featurize_query(
+                query_text, self.vocab, self.fly_cfg, self.projection
+            )
+            top = hamming_topk(sigs.select("url", "sig"), qsig, k)
+            return top.join(docmap, "url").select("url", "doc_id", "hamming")
+
+        candidates = None
+        if mode == "hybrid":
+            sigs = self.spark.read.parquet(self.sig_path)
+            qsig = featurize_query(
+                query_text, self.vocab, self.fly_cfg, self.projection
+            )
+            cand_rows = hamming_topk(
+                sigs.select("url", "sig"), qsig, prefilter_k
+            ).join(docmap, "url").select("doc_id").collect()
+            candidates = {int(r["doc_id"]) for r in cand_rows}
+        elif mode != "bm25":
+            raise ValueError(f"unknown mode {mode!r}")
+
+        top = bm25_topk_wand(
+            self.spark, self.index_dir, query_text, self.vocab, k=k,
+            n_ranges=n_ranges, candidate_docs=candidates,
+        )
+        return (
+            top.join(docmap, "doc_id")
+            .select("url", "doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )

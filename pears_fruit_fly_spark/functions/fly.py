@@ -77,6 +77,30 @@ def make_projection_matrix(
     return proj
 
 
+def write_projections_text(proj: np.ndarray, path: str) -> None:
+    """Write the reference's `.projs` text format: one KC row per line,
+    space-separated PN ids (format of fruit_fly/mkprojections.py:54-62)."""
+    with open(path, "w") as f:
+        for row in proj:
+            f.write(" ".join(str(int(i)) for i in np.flatnonzero(row)) + "\n")
+
+
+def read_projections_text(path: str, pn_size: int) -> np.ndarray:
+    """Read a `.projs` file back into a (kc x pn) uint8 matrix (reader
+    semantics of fruit_fly/hash.py:56-71: line order = KC id)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            rows.append([int(n) for n in line.split()])
+    proj = np.zeros((len(rows), pn_size), dtype=np.uint8)
+    for kc, pns in enumerate(rows):
+        proj[kc, pns] = 1
+    return proj
+
+
 # ---------------------------------------------------------------------------
 # Signature packing / Hamming
 # ---------------------------------------------------------------------------
