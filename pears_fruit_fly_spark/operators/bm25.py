@@ -64,7 +64,9 @@ def open_index(spark: SparkSession, index_dir: str):
         return hit
     info = read_build_info(index_dir)
     postings = read_postings(spark, index_dir)
-    stats = read_term_stats(spark, index_dir)
+    # term_stats is the per-query lookup table: pin it in executor memory
+    # (it is ~vocab-sized, partitioned; the lookup filter prunes by term_id)
+    stats = read_term_stats(spark, index_dir).persist()
     _INDEX_CACHE[index_dir] = (info, postings, stats)
     return _INDEX_CACHE[index_dir]
 

@@ -390,6 +390,35 @@ def build_postings(
     return info
 
 
+def compact_postings(spark: SparkSession, index_dir: str,
+                     target_files_per_bucket: int = 1) -> None:
+    """Maintenance compaction: rewrite each term bucket into
+    target_files_per_bucket files (small-file cleanup after incremental /
+    batched builds — the Iceberg rewrite_data_files analog). Content is
+    unchanged; safe to run any time after a completed build."""
+    postings_dir = os.path.join(index_dir, "postings")
+    info = mf.read_build_info(index_dir)
+    current = spark.read.option("basePath", postings_dir).parquet(postings_dir)
+    tmp = postings_dir + "_compacting"
+    # hash-partition on term_bucket: whole buckets co-locate, so each bucket
+    # directory ends up with (at most) target_files_per_bucket files
+    (
+        current.repartition(
+            info["num_partitions"] * target_files_per_bucket, "term_bucket"
+        )
+        .sortWithinPartitions("term_id", "salt", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(tmp)
+    )
+    import shutil
+
+    backup = postings_dir + "_old"
+    os.rename(postings_dir, backup)
+    os.rename(tmp, postings_dir)
+    shutil.rmtree(backup)
+
+
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     """Postings table with term_bucket partition column recovered from paths."""
     return spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(

@@ -1,0 +1,60 @@
+"""Index compaction: fewer files, identical content, queries unaffected."""
+
+from __future__ import annotations
+
+import os
+
+from pears_fruit_fly_spark.config import PostingsConfig
+from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand
+from pears_fruit_fly_spark.operators.docids import assign_doc_ids
+from pears_fruit_fly_spark.operators.postings import (
+    build_postings,
+    compact_postings,
+    read_postings,
+)
+from pears_fruit_fly_spark.sources.wet import dedup_latest
+
+
+def _dump(spark, d):
+    return sorted(
+        (r["term_id"], r["salt"], r["block_id"], bytes(r["doc_gaps"]),
+         bytes(r["tfs"]), bytes(r["dls"]), r["term_bucket"])
+        for r in read_postings(spark, d).collect()
+    )
+
+
+def _parquet_file_count(index_dir):
+    n = 0
+    for root, _, files in os.walk(os.path.join(index_dir, "postings")):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_compaction_preserves_content_and_queries(
+    spark, pages_df, vocab, tmp_path_factory
+):
+    clean = dedup_latest(pages_df)
+    pages_ids = clean.join(assign_doc_ids(clean, "url"), "url")
+    d = str(tmp_path_factory.mktemp("compact"))
+    # bucket_batch_size=2 -> multiple write jobs -> multiple files per bucket
+    build_postings(
+        spark, pages_ids, vocab, d,
+        cfg=PostingsConfig(num_partitions=4, skew_df_threshold=50,
+                           max_docs_per_subpartition=40, bucket_batch_size=2),
+    )
+    before_content = _dump(spark, d)
+    before_q = [(r["doc_id"], r["score"])
+                for r in bm25_topk_wand(spark, d, "t0 t3", vocab, k=10).collect()]
+    n_before = _parquet_file_count(d)
+
+    compact_postings(spark, d)
+
+    assert _parquet_file_count(d) < n_before
+    assert _dump(spark, d) == before_content
+    # cache from before compaction must not serve stale listings
+    from pears_fruit_fly_spark.operators.bm25 import _INDEX_CACHE
+
+    _INDEX_CACHE.pop(d, None)
+    after_q = [(r["doc_id"], r["score"])
+               for r in bm25_topk_wand(spark, d, "t0 t3", vocab, k=10).collect()]
+    assert after_q == before_q
