@@ -617,6 +617,19 @@ def q_knn_label_precision(spark, sf_dir):
     return per.select(F.col("id_a").alias("vec_id"), "prec5")
 
 
+
+
+def q_discard_filter(spark, sf_dir):
+    """P8 metacat-style discard: anti-join documents against a banned-source
+    dimension (left_anti = the reference's discard-list filter)."""
+    banned = spark.createDataFrame([("src1",), ("src3",)], "source string")
+    return (
+        _docs(spark, sf_dir)
+        .join(F.broadcast(banned), "source", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: fly hashing, compressed index, LSH)
 # ---------------------------------------------------------------------------
@@ -736,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessionize": q_events_sessionize,
         "q_orders_running_total": q_orders_running_total,
         "q_knn_label_precision": q_knn_label_precision,
+        "q_discard_filter": q_discard_filter,
         # rows-only (non-SQL-expressible)
         "q_fly_signatures": q_fly_signatures,
         "q_hamming_topk": q_hamming_topk,
@@ -1009,6 +1023,10 @@ SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
             "  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
             "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) "
             "AS running_spend FROM orders"
+        ),
+        "q_discard_filter": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE source NOT IN ('src1', 'src3')"
         ),
         "q_knn_label_precision": (
             "WITH pairs AS (SELECT a.vec_id AS id_a, a.label AS la, "

@@ -159,6 +159,37 @@ def count_vectorize(tokens_per_doc: list[list[int]], pn_size: int) -> np.ndarray
     return counts
 
 
+def featurize_counts(
+    counts: np.ndarray,
+    weights: np.ndarray,
+    projection: np.ndarray,
+    top_words: int,
+    wta_percent: float,
+    n_keywords: int = 10,
+) -> tuple[np.ndarray, list[list[int]]]:
+    """featurize_batch starting from a precomputed dense counts matrix
+    (n_docs x pn) — the fast path used by the Spark UDF, which builds counts
+    with one vectorized bincount instead of per-doc loops."""
+    weighted = counts * weights[None, :].astype(np.float32)
+    doc_wta = wta_rows(weighted, top_words, percent=False)
+
+    kc = doc_wta @ projection.T.astype(np.float32)
+    kc_wta = wta_rows(kc, wta_percent, percent=True)
+    bits = (kc_wta > 0).astype(np.uint8)
+    sigs = pack_signatures(bits)
+
+    keywords: list[list[int]] = []
+    for row in weighted:
+        nz = np.flatnonzero(row)
+        if nz.size == 0:
+            keywords.append([])
+            continue
+        # deterministic top-n: weight desc, term_id asc
+        order = nz[np.lexsort((nz, -row[nz]))][:n_keywords]
+        keywords.append(order.astype(int).tolist())
+    return sigs, keywords
+
+
 def featurize_batch(
     tokens_per_doc: list[list[int]],
     weights: np.ndarray,
@@ -184,21 +215,6 @@ def featurize_batch(
     """
     pn_size = projection.shape[1]
     counts = count_vectorize(tokens_per_doc, pn_size)
-    weighted = counts * weights[None, :].astype(np.float32)
-    doc_wta = wta_rows(weighted, top_words, percent=False)
-
-    kc = doc_wta @ projection.T.astype(np.float32)
-    kc_wta = wta_rows(kc, wta_percent, percent=True)
-    bits = (kc_wta > 0).astype(np.uint8)
-    sigs = pack_signatures(bits)
-
-    keywords: list[list[int]] = []
-    for row in weighted:
-        nz = np.flatnonzero(row)
-        if nz.size == 0:
-            keywords.append([])
-            continue
-        # deterministic top-n: weight desc, term_id asc
-        order = nz[np.lexsort((nz, -row[nz]))][:n_keywords]
-        keywords.append(order.astype(int).tolist())
-    return sigs, keywords
+    return featurize_counts(
+        counts, weights, projection, top_words, wta_percent, n_keywords
+    )

@@ -247,60 +247,48 @@ def build_postings(
     done = mf.completed_partitions(spark, index_dir)
     stage_s: dict[str, float] = {}
     if not os.path.exists(os.path.join(index_dir, "_build_info.json")):
-        # ---- stage 0-2: tokens, stats, salt plan, staging (run once) ----
+        # ---- stage 0-1: ONE tokenize pass -> staged tokens ----
+        # Tokenization is the expensive scan; everything downstream
+        # (term stats, salt plan, encode) reads the compact staged parquet
+        # instead of re-tokenizing. Salting moves to encode time — the salt
+        # is a pure function of (doc_id, n_salts) so it needs no extra pass.
         ts = time.time()
         if cfg.jvm_tokenizer:
             tokens = tokens_long_jvm(pages_with_ids, vocab, text_col)
         else:
             tokens = tokens_long(pages_with_ids, vocab, text_col)
-
-        # term_bucket stored alongside stats so query-time partition pruning
-        # needs no extra hash job (bm25.py reads df + bucket in ONE lookup)
-        term_stats = tokens.groupBy("term_id").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
-        ).withColumn(
+        bucketed = tokens.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
-        )
-        term_stats.write.mode("overwrite").parquet(stats_path)
-        term_stats = spark.read.parquet(stats_path)
-        stage_s["term_stats"] = time.time() - ts
-        ts = time.time()
-
-        agg = pages_with_ids.agg(F.count("*").alias("n")).collect()[0]
-        n_docs = int(agg["n"])
-        total_tokens = int(
-            term_stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
-        )
-        avgdl = total_tokens / max(1, n_docs)
-        stage_s["collection_stats"] = time.time() - ts
-        ts = time.time()
-
-        salt_plan = build_salt_plan(
-            term_stats, cfg.skew_df_threshold, cfg.max_docs_per_subpartition
-        )
-        salted = (
-            tokens.join(F.broadcast(salt_plan), "term_id", "left")
-            .withColumn(
-                "salt",
-                F.pmod(F.col("doc_id"), F.coalesce(F.col("n_salts"), F.lit(1)))
-                .cast("int"),
-            )
-            .withColumn(
-                "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
-            )
-            .drop("n_salts")
         )
         # THE one wide exchange of the build: co-locate each bucket so every
         # task writes exactly one bucket directory (avoids P^2 small files).
-        # Head-term salt spreading happens at encode time, which re-shuffles
-        # by (term, salt) within each batch anyway.
         (
-            salted.repartition(P, "term_bucket")
+            bucketed.repartition(P, "term_bucket")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(staging)
         )
         stage_s["staging"] = time.time() - ts
+        ts = time.time()
+
+        # ---- stage 2: stats from the staged tokens (compact re-read) ----
+        staged_tokens = spark.read.parquet(staging)
+        term_stats = staged_tokens.groupBy("term_id").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        ).withColumn(
+            # stored alongside stats so query-time partition pruning needs
+            # no extra hash job (bm25.py reads df + bucket in ONE lookup)
+            "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
+        )
+        term_stats.write.mode("overwrite").parquet(stats_path)
+        term_stats = spark.read.parquet(stats_path)
+
+        n_docs = int(pages_with_ids.agg(F.count("*").alias("n")).collect()[0]["n"])
+        total_tokens = int(
+            term_stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
+        )
+        avgdl = total_tokens / max(1, n_docs)
+        stage_s["term_stats"] = time.time() - ts
         info = {
             "n_docs": n_docs,
             "total_tokens": total_tokens,
@@ -324,11 +312,19 @@ def build_postings(
     # mid-write is simply redone (dynamic partition overwrite = idempotent).
     encode = _encoder(avgdl, BM25Config(info["k1"], info["b"]), info["block_size"])
     staged = spark.read.parquet(staging)
-    buckets = sorted(
-        r["term_bucket"]
-        for r in staged.select("term_bucket").distinct().collect()
+    term_stats_df = spark.read.parquet(stats_path)
+    # bucket inventory + per-bucket input row counts come from term_stats
+    # (tiny) — no extra pass over the staged tokens
+    bucket_rows = {
+        int(r["term_bucket"]): int(r["rows"])
+        for r in term_stats_df.groupBy("term_bucket")
+        .agg(F.sum("df").alias("rows"))
+        .collect()
+    }
+    salt_plan = build_salt_plan(
+        term_stats_df, info["skew_df_threshold"], cfg.max_docs_per_subpartition
     )
-    pending = [b for b in buckets if b not in done]
+    pending = [b for b in sorted(bucket_rows) if b not in done]
     batch_size = cfg.bucket_batch_size or len(pending) or 1
     parallelism = spark.sparkContext.defaultParallelism
 
@@ -336,11 +332,17 @@ def build_postings(
     for start in range(0, len(pending), batch_size):
         batch = pending[start : start + batch_size]
         tb = time.time()
-        part = staged.filter(F.col("term_bucket").isin(batch))
-        rows_in = {
-            int(r["term_bucket"]): int(r["cnt"])
-            for r in part.groupBy("term_bucket").agg(F.count("*").alias("cnt")).collect()
-        }
+        rows_in = {b: bucket_rows.get(b, 0) for b in batch}
+        part = (
+            staged.filter(F.col("term_bucket").isin(batch))
+            .join(F.broadcast(salt_plan), "term_id", "left")
+            .withColumn(
+                "salt",
+                F.pmod(F.col("doc_id"), F.coalesce(F.col("n_salts"), F.lit(1)))
+                .cast("int"),
+            )
+            .drop("n_salts")
+        )
         n_tasks = max(parallelism, sum(rows_in.values()) // 2_000_000 + 1)
         encoded = (
             part.repartition(n_tasks, "term_id", "salt")

@@ -115,3 +115,38 @@ def test_wand_prefilter_composition(spark, corpus, vocab):
     ]
     want = [(d, s) for d, s in full if d in cand][:10]
     _assert_rank_identical(got, want, "prefilter")
+
+
+def test_relational_bm25_property_random_corpora(spark, vocab):
+    """Property check beyond the frozen set: random mini-corpora + random
+    queries must match the oracle through the relational path."""
+    import numpy as np
+
+    from pears_fruit_fly_spark.operators.bm25 import bm25_topk_relational
+
+    rng = np.random.default_rng(123)
+    terms = vocab.terms
+    for trial in range(4):
+        n = int(rng.integers(5, 40))
+        docs = []
+        for i in range(n):
+            toks = [terms[int(rng.integers(0, min(50, len(terms))))]
+                    for _ in range(int(rng.integers(1, 60)))]
+            docs.append((i, " ".join(toks)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        oracle = BM25Oracle(docs, vocab)
+        from pears_fruit_fly_spark.operators.postings import tokens_long
+
+        tokens = tokens_long(df.withColumnRenamed("doc_id", "doc_id"), vocab)
+        qtext = " ".join(
+            terms[int(rng.integers(0, 50))] for _ in range(int(rng.integers(1, 4)))
+        )
+        q = query_term_counts(qtext, vocab)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_relational(
+                tokens, q, oracle.n_docs, oracle.avgdl, 10
+            ).collect()
+        ]
+        want = oracle.topk(qtext, 10)
+        _assert_rank_identical(got, want, f"prop{trial}")
