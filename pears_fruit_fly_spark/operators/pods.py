@@ -95,6 +95,27 @@ def pod_stats(spark: SparkSession, pod_dir: str, pod_col: str = "pod") -> DataFr
     )
 
 
+def pod_keyword_stats(
+    spark: SparkSession, pod_dir: str, top_n: int = 5, pod_col: str = "pod"
+) -> DataFrame:
+    """Top-N keyword term-ids per pod (ref: apply_umap_fly.py:144-153 —
+    Counter(keywords).most_common(5) per cluster): explode the keywords
+    column, count per (pod, keyword), ranking window top-N."""
+    from pyspark.sql.window import Window
+
+    sigs = read_pods(spark, pod_dir)
+    counts = (
+        sigs.select(pod_col, F.explode("keywords").alias("kw"))
+        .groupBy(pod_col, "kw")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(pod_col).orderBy(F.desc("cnt"), F.asc("kw"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
 def kc_usage(signatures: DataFrame, kc_size: int) -> DataFrame:
     """KC usage statistics (ref: web_map/umap/fly_utils.py:56-68): how often
     each Kenyon cell fires across the corpus. (kc_id, n_used), sorted desc.
