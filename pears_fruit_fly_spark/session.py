@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
+    # Shuffle/spill to tmpfs when available: this sandbox's disk does
+    # ~650 MB/s shared across all tasks, which flatlines shuffle-heavy
+    # stages; real clusters provision NVMe per executor. Override with
+    # SPARK_LOCAL_DIRS / spark.local.dir for disk-backed runs.
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        shm_dir = "/dev/shm/spark-local"
+        os.makedirs(shm_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm_dir)
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     else:
