@@ -54,11 +54,16 @@ SCORE_SCHEMA = StructType(
 
 # Opened-index cache: avoids re-listing parquet files and re-reading
 # build_info on every query (serving-path latency). Keyed by index_dir.
-_INDEX_CACHE: dict[str, tuple[dict, object, object]] = {}
+_INDEX_CACHE: dict[str, tuple[dict, object, object, dict | None]] = {}
+
+# Vocabularies up to this size keep (df, bucket) per term in DRIVER memory:
+# the per-query stats lookup then costs zero Spark jobs. Above it (web-scale
+# vocabularies), lookups hit the persisted term_stats table instead.
+_DRIVER_STATS_MAX_TERMS = 2_000_000
 
 
 def open_index(spark: SparkSession, index_dir: str):
-    """(build_info, postings_df, term_stats_df) with driver-side caching."""
+    """(build_info, postings_df, term_stats_df, driver_stats|None), cached."""
     hit = _INDEX_CACHE.get(index_dir)
     if hit is not None:
         return hit
@@ -67,7 +72,13 @@ def open_index(spark: SparkSession, index_dir: str):
     # term_stats is the per-query lookup table: pin it in executor memory
     # (it is ~vocab-sized, partitioned; the lookup filter prunes by term_id)
     stats = read_term_stats(spark, index_dir).persist()
-    _INDEX_CACHE[index_dir] = (info, postings, stats)
+    driver_stats = None
+    if info.get("vocab_size", 1 << 62) <= _DRIVER_STATS_MAX_TERMS:
+        driver_stats = {
+            int(r["term_id"]): (int(r["df"]), int(r["term_bucket"]))
+            for r in stats.collect()
+        }
+    _INDEX_CACHE[index_dir] = (info, postings, stats, driver_stats)
     return _INDEX_CACHE[index_dir]
 
 
@@ -307,7 +318,7 @@ def bm25_topk_wand(
     when given, only those docs are scored (semantics of the PeARS
     signature prefilter composition — SURVEY.md §3.3 stage B').
     """
-    info, postings, term_stats = open_index(spark, index_dir)
+    info, postings, term_stats, driver_stats = open_index(spark, index_dir)
     n_docs, avgdl = info["n_docs"], info["avgdl"]
     k1, b = info["k1"], info["b"]
 
@@ -316,15 +327,21 @@ def bm25_topk_wand(
         return spark.createDataFrame([], SCORE_SCHEMA)
 
     term_ids = sorted(qcounts)
-    # ONE tiny lookup job returns df AND the pruning bucket per term
-    # (term_bucket precomputed at build time — postings.py stage 1)
-    stat_rows = (
-        term_stats.filter(F.col("term_id").isin(term_ids))
-        .select("term_id", "df", "term_bucket")
-        .collect()
-    )
-    stats = {int(r["term_id"]): int(r["df"]) for r in stat_rows}
-    buckets = sorted({int(r["term_bucket"]) for r in stat_rows})
+    if driver_stats is not None:
+        # zero-job lookup (small-vocab index: stats cached on the driver)
+        found = [(t, *driver_stats[t]) for t in term_ids if t in driver_stats]
+        stats = {t: df_ for t, df_, _ in found}
+        buckets = sorted({bk for _, _, bk in found})
+    else:
+        # ONE tiny lookup job returns df AND the pruning bucket per term
+        # (term_bucket precomputed at build time — postings.py stage 1)
+        stat_rows = (
+            term_stats.filter(F.col("term_id").isin(term_ids))
+            .select("term_id", "df", "term_bucket")
+            .collect()
+        )
+        stats = {int(r["term_id"]): int(r["df"]) for r in stat_rows}
+        buckets = sorted({int(r["term_bucket"]) for r in stat_rows})
     weights = {
         t: qcounts[t] * idf(n_docs, stats.get(t, 0)) for t in term_ids if t in stats
     }
