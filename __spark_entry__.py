@@ -176,22 +176,26 @@ def q_keywords_weighted(spark, sf_dir):
 
 
 def _bm25_scores_df(spark, sf_dir):
+    """Single-job relational BM25: collection stats ride along as a
+    broadcast 1-row cross join (exactly like the oracle SQL's CROSS JOIN
+    stats) instead of a separate driver collect."""
     tf = q_token_counts(spark, sf_dir).filter(F.col("term").isin(QUERY_TERMS))
     dl = q_doclen(spark, sf_dir)
-    stats = tf.groupBy("term").agg(F.count("*").alias("df"))
-    from pyspark.sql import functions as _F
-
-    st = q_doclen(spark, sf_dir).agg(
-        _F.count("*").alias("n"), _F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(st["n"]), float(st["avgdl"])
-    hits = tf.join(dl, "doc_id").join(F.broadcast(stats), "term")
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
     contrib = (
-        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
         * (F.col("tf") * (BM25_K1 + 1))
         / (
             F.col("tf")
-            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
     return hits.withColumn("c", contrib).groupBy("doc_id").agg(
@@ -325,11 +329,17 @@ def q_bigram_counts(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs (exact, relational) over documents."""
+    """n-gram Jaccard near-dup pairs (exact, relational) over documents.
+
+    Trigram shingles: with this corpus's ~31-token vocabulary, bigrams are
+    so dense that the candidate self-join goes quadratic in corpus size;
+    trigrams keep shingle df low so the join stays near-linear (the same
+    reason production dedup uses 5-13-gram shingles).
+    """
     from pears_fruit_fly_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
@@ -856,16 +866,17 @@ SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
         ),
         "q_jaccard_pairs": (
             "WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform("
-            "  range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS g "
+            "  range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g "
             "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
-            "  '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)), "
+            "  '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents "
+            "  WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) >= 3)), "
             "sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1), "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
             "  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2) "
             "SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) "
             "AS jaccard FROM inter "
             "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
-            "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2"
+            "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1"
         ),
         "q_minhash_rankdict": (
             f"WITH toks AS ({_SQL_TOKS}), "
