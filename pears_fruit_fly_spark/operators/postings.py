@@ -63,6 +63,10 @@ TOKENS_SCHEMA = StructType(
     ]
 )
 
+STAGED_TOKENS_SCHEMA = StructType(
+    TOKENS_SCHEMA.fields + [StructField("term_bucket", IntegerType())]
+)
+
 POSTINGS_SCHEMA = StructType(
     [
         StructField("term_id", IntegerType()),
@@ -272,7 +276,9 @@ def build_postings(
         ts = time.time()
 
         # ---- stage 2: stats from the staged tokens (compact re-read) ----
-        staged_tokens = spark.read.parquet(staging)
+        # explicit schema: an empty corpus leaves no parquet footers to
+        # infer from, but must still produce a valid (empty) index
+        staged_tokens = spark.read.schema(STAGED_TOKENS_SCHEMA).parquet(staging)
         term_stats = staged_tokens.groupBy("term_id").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
         ).withColumn(
@@ -287,7 +293,9 @@ def build_postings(
         total_tokens = int(
             term_stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
         )
-        avgdl = total_tokens / max(1, n_docs)
+        # avgdl floor guards the BM25 impact divisor for empty/degenerate
+        # corpora (0-token builds produce an empty but valid index)
+        avgdl = max(1e-9, total_tokens / max(1, n_docs))
         stage_s["term_stats"] = time.time() - ts
         info = {
             "n_docs": n_docs,
@@ -311,7 +319,7 @@ def build_postings(
     # per-bucket, so resume granularity is the bucket; a batch that dies
     # mid-write is simply redone (dynamic partition overwrite = idempotent).
     encode = _encoder(avgdl, BM25Config(info["k1"], info["b"]), info["block_size"])
-    staged = spark.read.parquet(staging)
+    staged = spark.read.schema(STAGED_TOKENS_SCHEMA).parquet(staging)
     term_stats_df = spark.read.parquet(stats_path)
     # bucket inventory + per-bucket input row counts come from term_stats
     # (tiny) — no extra pass over the staged tokens
@@ -422,10 +430,17 @@ def compact_postings(spark: SparkSession, index_dir: str,
 
 
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Postings table with term_bucket partition column recovered from paths."""
-    return spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(
-        os.path.join(index_dir, "postings")
-    )
+    """Postings table with term_bucket partition column recovered from paths.
+
+    An empty-corpus build writes no posting files at all; that is still a
+    valid (empty) index, so return an empty frame rather than failing."""
+    path = os.path.join(index_dir, "postings")
+    if not os.path.isdir(path):
+        empty_schema = StructType(
+            POSTINGS_SCHEMA.fields + [StructField("term_bucket", IntegerType())]
+        )
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.option("basePath", path).parquet(path)
 
 
 def read_term_stats(spark: SparkSession, index_dir: str) -> DataFrame:
