@@ -640,6 +640,45 @@ def q_discard_filter(spark, sf_dir):
     )
 
 
+
+
+BATCH_QUERIES = {0: "join hash", 1: "window the", 2: "scan filter sort"}
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Batch WAND serving: many queries, one scatter job over the compressed
+    index — per-query rank identity checked against a multi-query SQL oracle
+    (query-terms VALUES table join)."""
+    import numpy as np
+
+    from pears_fruit_fly_spark.config import PostingsConfig
+    from pears_fruit_fly_spark.functions.vocab import Vocab
+    from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand_batch
+    from pears_fruit_fly_spark.operators.postings import build_postings
+
+    docs = _docs(spark, sf_dir)
+    terms = [r["term"] for r in _term_ranks(spark, sf_dir).orderBy("rid").collect()]
+    vocab = Vocab(terms=terms, logprobs=np.full(len(terms), -1.0))
+    pages = docs.select(
+        "doc_id", F.array_join(tokens_array("text"), " ").alias("text")
+    )
+    index_dir = tempfile.mkdtemp(prefix="pears_idx_batch_") + "/idx"
+    build_postings(
+        spark, pages, vocab, index_dir,
+        cfg=PostingsConfig(num_partitions=8, skew_df_threshold=1 << 30),
+    )
+    top = bm25_topk_wand_batch(
+        spark, index_dir, BATCH_QUERIES, vocab, k=10, n_ranges=4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.select("query_id", "doc_id", F.round("score", 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: fly hashing, compressed index, LSH)
 # ---------------------------------------------------------------------------
@@ -737,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_scores": q_bm25_scores,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_wand": q_bm25_wand,
+        "q_bm25_batch": q_bm25_batch,
         "q_dedup_latest_orders": q_dedup_latest_orders,
         "q_latest_event_per_user": q_latest_event_per_user,
         "q_exact_dup_groups": q_exact_dup_groups,
@@ -840,6 +880,28 @@ SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
         ),
         "q_bm25_topk": bm25_topk_sql,
         "q_bm25_wand": bm25_topk_sql,  # same oracle: WAND must be rank-identical
+        "q_bm25_batch": """
+WITH toks AS ({_toks}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q(query_id, term, qtf) AS (VALUES (0, 'join', 1), (0, 'hash', 1), (1, 'window', 1), (1, 'the', 1), (2, 'scan', 1), (2, 'filter', 1), (2, 'sort', 1)),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (SELECT q.query_id, tf.doc_id,
+  sum(q.qtf * ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+      * (tf.tf * ({k1} + 1))
+      / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))) AS s
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id)
+  JOIN dft USING (term) CROSS JOIN stats GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, round(s, 4) AS score FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+       CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, doc_id, score, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank FROM r)
+WHERE rank <= 10
+""".format(
+            _toks=_SQL_TOKS, k1=BM25_K1, b=BM25_B
+        ).replace("{k1}", str(BM25_K1)).replace("{b}", str(BM25_B)),
         "q_dedup_latest_orders": (
             "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
             "  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("

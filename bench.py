@@ -101,6 +101,16 @@ def main() -> None:
     timings["bm25_wand_p95"] = lat[int(0.95 * (len(lat) - 1))]
     extras["bm25_wand_p50"] = round(lat[len(lat) // 2], 4)
 
+    # batch serving: 40 queries in one scatter job
+    from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand_batch
+
+    batch = {int(qid): qset.iloc[qid].query_text for qid in range(40)}
+    t0 = time.time()
+    bm25_topk_wand_batch(spark, index_dir, batch, vocab, k=10,
+                         n_ranges=CPUS).collect()
+    timings["bm25_batch_40q"] = time.time() - t0
+    extras["bm25_batch_sec_per_query"] = round(timings["bm25_batch_40q"] / 40, 4)
+
     # ---- Hamming signature query -------------------------------------------
     sigs = spark.read.parquet(sig_path)
     qsig = featurize_query(qset.iloc[0].query_text, vocab, fly_cfg)

@@ -382,3 +382,142 @@ def bm25_topk_wand(
 
     local_topk = blocks.groupBy("range_id").applyInPandas(_score_group, SCORE_SCHEMA)
     return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+BATCH_SCORE_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def bm25_topk_wand_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[int, str],
+    vocab: Vocab,
+    k: int = 10,
+    n_ranges: int = 16,
+) -> DataFrame:
+    """Batch serving: MANY queries answered in ONE scatter job.
+
+    The high-throughput retrieval shape (training-data mining, offline
+    eval): the postings of the UNION of all query terms scatter to doc
+    ranges once; each range task decodes every needed block exactly once,
+    then scores all queries term-at-a-time against the decoded arrays
+    (exact; block-max pruning buys little once decode cost is amortized
+    across queries). Per-query top-k via one ranking-window pass over
+    p_ranges x k x n_queries candidate rows.
+
+    Returns (query_id, doc_id, score) with rank ties broken by doc_id asc,
+    rank-identical per query to bm25_topk_wand / the NumPy oracle.
+    """
+    from pyspark.sql.window import Window
+
+    info, postings, term_stats, driver_stats = open_index(spark, index_dir)
+    n_docs, avgdl = info["n_docs"], info["avgdl"]
+    k1, b = info["k1"], info["b"]
+
+    qterm_counts = {qid: query_term_counts(text, vocab) for qid, text in queries.items()}
+    all_terms = sorted({t for qc in qterm_counts.values() for t in qc})
+    if not all_terms:
+        return spark.createDataFrame([], BATCH_SCORE_SCHEMA)
+
+    if driver_stats is not None:
+        found = {t: driver_stats[t] for t in all_terms if t in driver_stats}
+    else:
+        found = {
+            int(r["term_id"]): (int(r["df"]), int(r["term_bucket"]))
+            for r in term_stats.filter(F.col("term_id").isin(all_terms))
+            .select("term_id", "df", "term_bucket")
+            .collect()
+        }
+    if not found:
+        return spark.createDataFrame([], BATCH_SCORE_SCHEMA)
+    buckets = sorted({bk for _, bk in found.values()})
+    # per-query weights: qid -> {term: qtf * idf}
+    qweights = {
+        qid: {
+            t: c * idf(n_docs, found[t][0]) for t, c in qc.items() if t in found
+        }
+        for qid, qc in qterm_counts.items()
+    }
+    qweights = {qid: w for qid, w in qweights.items() if w}
+
+    range_width = max(1, (n_docs + n_ranges - 1) // n_ranges)
+    blocks = (
+        postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term_id").isin(list(found))
+        )
+        .withColumn(
+            "range_id",
+            F.explode(
+                F.sequence(
+                    (F.col("first_doc") / range_width).cast("long"),
+                    (F.col("last_doc") / range_width).cast("long"),
+                )
+            ),
+        )
+    )
+
+    b_qweights = spark.sparkContext.broadcast(qweights)
+
+    def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        rid = int(pdf["range_id"].iloc[0])
+        lo, hi = rid * range_width, (rid + 1) * range_width - 1
+        # decode every block once; accumulate per-term posting arrays
+        from pears_fruit_fly_spark.operators.codec import decode_block
+
+        term_ids: dict[int, list] = {}
+        term_imps: dict[int, list] = {}
+        for rec in pdf.to_dict("records"):
+            ids, tfs, dls = decode_block(rec)
+            mask = (ids >= lo) & (ids <= hi)
+            if not mask.any():
+                continue
+            t = int(rec["term_id"])
+            term_ids.setdefault(t, []).append(ids[mask])
+            term_imps.setdefault(t, []).append(
+                bm25_impact(tfs[mask], dls[mask], avgdl, k1, b)
+            )
+        decoded = {
+            t: (np.concatenate(term_ids[t]), np.concatenate(term_imps[t]))
+            for t in term_ids
+        }
+        out_q, out_d, out_s = [], [], []
+        for qid, weights in b_qweights.value.items():
+            hits_i, hits_s = [], []
+            for t, w in weights.items():
+                got = decoded.get(t)
+                if got is None:
+                    continue
+                hits_i.append(got[0])
+                hits_s.append(got[1] * w)
+            if not hits_i:
+                continue
+            ids = np.concatenate(hits_i)
+            scores = np.concatenate(hits_s)
+            uniq, inv = np.unique(ids, return_inverse=True)
+            totals = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(totals, inv, scores)
+            if uniq.size > k:
+                # local top-k with (score desc, doc asc) tie order
+                order = np.lexsort((uniq, -totals))[:k]
+            else:
+                order = np.lexsort((uniq, -totals))
+            out_q.extend([qid] * order.size)
+            out_d.extend(uniq[order].tolist())
+            out_s.extend(totals[order].tolist())
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    local = blocks.groupBy("range_id").applyInPandas(_score_group, BATCH_SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

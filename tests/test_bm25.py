@@ -150,3 +150,29 @@ def test_relational_bm25_property_random_corpora(spark, vocab):
         ]
         want = oracle.topk(qtext, 10)
         _assert_rank_identical(got, want, f"prop{trial}")
+
+
+def test_batch_wand_rank_identity(spark, corpus, vocab):
+    """Batch serving: every query's top-k identical to the oracle."""
+    from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand_batch
+
+    qids = [0, 5, 17, 42, 63, 80, 91, 96, 99]
+    queries = {qid: QUERIES.iloc[qid].query_text for qid in qids}
+    got_rows = bm25_topk_wand_batch(
+        spark, corpus["dir"], queries, vocab, k=10, n_ranges=4
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in got_rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    oracle = corpus["oracle"]
+    for qid in qids:
+        want = oracle.topk(queries[qid], 10)
+        got = sorted(by_q.get(qid, []), key=lambda x: (-x[1], x[0]))
+        _assert_rank_identical(got, want, f"batch{qid}")
+
+
+def test_batch_wand_all_oov(spark, corpus, vocab):
+    from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand_batch
+
+    out = bm25_topk_wand_batch(spark, corpus["dir"], {0: "zz_oov"}, vocab, k=5)
+    assert out.count() == 0
