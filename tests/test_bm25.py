@@ -176,3 +176,38 @@ def test_batch_wand_all_oov(spark, corpus, vocab):
 
     out = bm25_topk_wand_batch(spark, corpus["dir"], {0: "zz_oov"}, vocab, k=5)
     assert out.count() == 0
+
+
+def test_wand_property_random_corpora(spark, vocab, tmp_path_factory):
+    """Full-pipeline property check: random corpus -> build index -> WAND
+    top-k must match the oracle (beyond the frozen query set)."""
+    import numpy as np
+
+    rng = np.random.default_rng(777)
+    terms = vocab.terms
+    for trial in range(2):
+        n = int(rng.integers(30, 80))
+        docs = []
+        for i in range(n):
+            toks = [terms[int(rng.integers(0, 80))]
+                    for _ in range(int(rng.integers(3, 120)))]
+            docs.append((i, " ".join(toks)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        d = str(tmp_path_factory.mktemp(f"wandprop{trial}"))
+        build_postings(
+            spark, df, vocab, d,
+            cfg=PostingsConfig(num_partitions=4, skew_df_threshold=20,
+                               max_docs_per_subpartition=15),
+        )
+        oracle = BM25Oracle(docs, vocab)
+        for _ in range(3):
+            qtext = " ".join(
+                terms[int(rng.integers(0, 80))]
+                for _ in range(int(rng.integers(1, 4)))
+            )
+            got = [
+                (r["doc_id"], r["score"])
+                for r in bm25_topk_wand(spark, d, qtext, vocab, k=8,
+                                        n_ranges=3).collect()
+            ]
+            _assert_rank_identical(got, oracle.topk(qtext, 8), f"wp{trial}")
