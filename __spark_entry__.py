@@ -162,10 +162,18 @@ def q_keywords_weighted(spark, sf_dir):
     fruit_fly/hash.py:51) then top-3 keywords per doc."""
     tf = q_token_counts(spark, sf_dir)
     stats = q_doc_freq(spark, sf_dir).select("term", "cf")
-    total = _tokens(spark, sf_dir).count()
-    weighted = tf.join(stats, "term").withColumn(
-        "w",
-        F.col("tf") * F.pow(-F.log(F.col("cf") / F.lit(float(total))), 3.0),
+    # total token count rides along as a broadcast 1-row agg (same pattern
+    # as _bm25_scores_df) — no separate driver-side .count() action
+    total = _tokens(spark, sf_dir).agg(
+        F.count("*").cast("double").alias("total")
+    )
+    weighted = (
+        tf.join(stats, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "w",
+            F.col("tf") * F.pow(-F.log(F.col("cf") / F.col("total")), 3.0),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
     return (
@@ -335,11 +343,18 @@ def q_jaccard_pairs(spark, sf_dir):
     so dense that the candidate self-join goes quadratic in corpus size;
     trigrams keep shingle df low so the join stays near-linear (the same
     reason production dedup uses 5-13-gram shingles).
+
+    max_ngram_df=100 (VERDICT r1 #4): an ABSOLUTE df cap is the correct
+    scale guard — it bounds the self-join work per shingle at df^2 <= 10^4
+    regardless of corpus size (a relative cap would still go quadratic at
+    100x). A shingle in >100 docs carries no near-dup signal anyway; the
+    DuckDB oracle applies the identical filter.
     """
     from pears_fruit_fly_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1,
+                                max_ngram_df=100)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
@@ -700,12 +715,30 @@ def q_fly_signatures(spark, sf_dir):
                     top_words=10, wta_percent=10.0)
     pages = docs.select(F.col("doc_id").cast("string").alias("url"),
                         F.array_join(tokens_array("text"), " ").alias("text"))
-    return build_signatures(spark, pages, vocab, cfg)
+    sigs = build_signatures(spark, pages, vocab, cfg)
+    # the driver canonicalizes by pandas sort_values over every column, so
+    # array columns must be projected to sortable scalars (VERDICT r1 #2)
+    return sigs.select(
+        "url",
+        F.array_join(F.col("sig").cast("array<string>"), "_").alias("sig_hex"),
+        F.array_join(F.col("keywords").cast("array<string>"), "_").alias(
+            "keywords_csv"),
+        "doclen",
+    )
+
+
+# Cross-engine staging area for q_hamming_topk: the fly signature build is
+# not SQL-expressible (seeded random projections), so the Spark query stages
+# the signatures + query signature to parquet and the DuckDB oracle verifies
+# the Hamming-top-k SEARCH over the exact same staged inputs with
+# xor()+bit_count() (semantics: reference web_map/umap/utils.py:139-142).
+HAMMING_STAGE_DIR = "/tmp/pears_oracle_stage"
 
 
 def q_hamming_topk(spark, sf_dir):
     """Hamming NN query over fly signatures (ref semantics
-    web_map/umap/utils.py:139-142)."""
+    web_map/umap/utils.py:139-142). Oracle: DuckDB xor+bit_count over the
+    staged packed words (VERDICT r1 #3)."""
     import numpy as np
 
     from pears_fruit_fly_spark.config import FlyConfig
@@ -724,9 +757,16 @@ def q_hamming_topk(spark, sf_dir):
                     top_words=10, wta_percent=10.0)
     pages = docs.select(F.col("doc_id").cast("string").alias("url"),
                         F.array_join(tokens_array("text"), " ").alias("text"))
-    sigs = build_signatures(spark, pages, vocab, cfg)
+    sigs = build_signatures(spark, pages, vocab, cfg).select("url", "sig")
     qsig = featurize_query(" ".join(QUERY_TERMS), vocab, cfg)
-    return hamming_topk(sigs, qsig, k=10)
+    sig_path = HAMMING_STAGE_DIR + "/hamming_sigs"
+    q_path = HAMMING_STAGE_DIR + "/hamming_query"
+    sigs.write.mode("overwrite").parquet(sig_path)
+    spark.createDataFrame(
+        [([int(w) for w in qsig],)], "qsig array<long>"
+    ).write.mode("overwrite").parquet(q_path)
+    staged = spark.read.parquet(sig_path)
+    return hamming_topk(staged, qsig, k=10)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -745,7 +785,17 @@ def q_multimodal_features(spark, sf_dir):
         make_media_fixture,
     )
 
-    return decode_media(make_media_fixture(spark, n=48))
+    feats = decode_media(make_media_fixture(spark, n=48))
+    # scalar projection of the feature array: driver canonicalization sorts
+    # every column, which fails on lists (VERDICT r1 #2)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.array_join(
+            F.transform("features", lambda x: F.round(x.cast("double"), 4)
+                        .cast("string")),
+            "_",
+        ).alias("features_csv"),
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -927,11 +977,15 @@ WHERE rank <= 10
             "SELECT bigram, count(*) AS cnt FROM g GROUP BY 1"
         ),
         "q_jaccard_pairs": (
-            "WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "WITH g0 AS (SELECT doc_id, unnest(list_distinct(list_transform("
             "  range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g "
             "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
             "  '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents "
             "  WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) >= 3)), "
+            # df-cap skew guard, identical to max_ngram_df=100 on the Spark side
+            "keep AS (SELECT g FROM (SELECT g, count(*) AS gdf FROM g0 GROUP BY 1) "
+            "  WHERE gdf <= 100), "
+            "g AS (SELECT doc_id, g0.g FROM g0 JOIN keep USING (g)), "
             "sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1), "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
             "  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2) "
@@ -1119,5 +1173,19 @@ WHERE rank <= 10
             "round(CAST(sum(CAST(s_acctbal AS DECIMAL(20,6))) AS DOUBLE), 2) AS total_acctbal "
             "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
             "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1, 2"
+        ),
+        # Hamming top-k: the Spark query stages the fly signatures (packed
+        # int64 words) + the query signature to parquet; the oracle verifies
+        # the Hamming search itself over the exact same staged inputs.
+        "q_hamming_topk": (
+            f"WITH s AS (SELECT url, sig FROM "
+            f"read_parquet('{HAMMING_STAGE_DIR}/hamming_sigs/*.parquet')), "
+            f"q AS (SELECT qsig FROM "
+            f"read_parquet('{HAMMING_STAGE_DIR}/hamming_query/*.parquet')), "
+            "d AS (SELECT s.url, CAST(list_sum(list_transform("
+            "  range(1, len(s.sig) + 1), "
+            "  i -> bit_count(xor(s.sig[i], q.qsig[i])))) AS BIGINT) AS hamming "
+            "FROM s CROSS JOIN q) "
+            "SELECT url, hamming FROM d ORDER BY hamming ASC, url ASC LIMIT 10"
         ),
     }

@@ -55,9 +55,12 @@ class PostingsConfig:
     bucket_batch_size: int | None = None  # buckets encoded per Spark job;
     # None = all pending in one job (fastest); smaller = finer resume
     # granularity (checkpoint manifest rows are always per-bucket)
-    jvm_tokenizer: bool = True   # whitespace tokenize fully JVM-side
-    # (explode + broadcast vocab join, zero Python); False = Python
-    # mapInPandas path, required for SentencePiece tokenization
+    jvm_tokenizer: bool = False  # False (default) = vectorized Arrow
+    # mapInPandas path: tf AND dl computed narrowly, so the whole staging
+    # write is a SINGLE exchange (the term_bucket repartition) — also the
+    # only path for SentencePiece tokenization. True = all-JVM explode +
+    # broadcast vocab join (one doc_id exchange before the bucket one);
+    # use on clusters where Python workers are scarce.
 
 
 INGEST_MIN_CHARS = 1000  # ref: common_crawl_processor/cc_process_wet.py:77

@@ -48,7 +48,6 @@ from pyspark.sql.types import (
 )
 
 from pears_fruit_fly_spark.config import BM25Config, PostingsConfig
-from pears_fruit_fly_spark.functions.tokenizer import whitespace_tokenize
 from pears_fruit_fly_spark.functions.vocab import Vocab
 from pears_fruit_fly_spark.operators.codec import encode_blocks
 from pears_fruit_fly_spark.plans import manifest as mf
@@ -94,29 +93,47 @@ def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text") -> DataF
     dl = total in-vocab token count (the BM25 dl statistic).
     """
     spark = pages.sparkSession
-    b_t2i = spark.sparkContext.broadcast(vocab.term_to_id)
+    b_terms = spark.sparkContext.broadcast(list(vocab.terms))
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        t2i = b_t2i.value
+        # pd.Index.get_indexer = one vectorized hash lookup for the whole
+        # batch (C speed) instead of a per-token Python dict probe.
+        vocab_index = pd.Index(b_terms.value)
+        V = len(vocab_index)
         for pdf in batches:
-            doc_ids, term_ids, tfs, dls = [], [], [], []
-            for did, text in zip(pdf["doc_id"].values, pdf[text_col].fillna("")):
-                ids = [t2i[t] for t in whitespace_tokenize(text.replace("\n", " ")) if t in t2i]
-                arr = np.asarray(ids, dtype=np.int64)
-                uniq, counts = np.unique(arr, return_counts=True)
-                dl = int(arr.size)
-                doc_ids.append(np.full(uniq.size, did, dtype=np.int64))
-                term_ids.append(uniq.astype(np.int32))
-                tfs.append(counts.astype(np.int32))
-                dls.append(np.full(uniq.size, dl, dtype=np.int64))
-            if not doc_ids:
+            if pdf.empty:
                 continue
+            tok_lists = (
+                pdf[text_col]
+                .fillna("")
+                .str.replace("\n", " ", regex=False)
+                .str.split(" ")
+                .to_numpy()
+            )
+            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                               count=len(tok_lists))
+            if lens.sum() == 0:
+                continue
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+            doc_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            ids = vocab_index.get_indexer(flat)  # -1 = OOV (and "" splits)
+            mask = ids >= 0
+            if not mask.any():
+                continue
+            doc_sel = doc_idx[mask]
+            id_sel = ids[mask].astype(np.int64)
+            # dl = in-vocab token count per doc (BM25 dl statistic)
+            dl_per_doc = np.bincount(doc_sel, minlength=len(pdf))
+            # tf per (doc, term) in one pass: composite int64 key
+            key = doc_sel * V + id_sel
+            uniq, counts = np.unique(key, return_counts=True)
+            out_doc_idx = uniq // V
             yield pd.DataFrame(
                 {
-                    "doc_id": np.concatenate(doc_ids),
-                    "term_id": np.concatenate(term_ids),
-                    "tf": np.concatenate(tfs),
-                    "dl": np.concatenate(dls),
+                    "doc_id": pdf["doc_id"].to_numpy()[out_doc_idx],
+                    "term_id": (uniq % V).astype(np.int32),
+                    "tf": counts.astype(np.int32),
+                    "dl": dl_per_doc[out_doc_idx].astype(np.int64),
                 }
             )
 
@@ -127,14 +144,21 @@ def tokens_long_jvm(
     pages: DataFrame, vocab: Vocab, text_col: str = "text"
 ) -> DataFrame:
     """JVM-only tokens_long for the whitespace tokenizer: split → explode →
-    broadcast vocab join → two hash aggs. Zero Python in the path, fully
-    whole-stage-codegen; Catalyst's partial (map-side) aggregation means the
-    explode never shuffles raw tokens — only distinct (doc, term) pairs.
+    broadcast vocab join → ONE exchange. Zero Python in the path, fully
+    whole-stage-codegen.
+
+    Physical shape: repartition the in-vocab (doc_id, term_id) pairs by
+    doc_id FIRST; HashPartitioning(doc_id) satisfies the clustering
+    requirement of both the (doc_id, term_id) hash agg (subset of grouping
+    keys) and the dl window (exact match), so tf and dl ride the same single
+    exchange. The previous form (agg shuffle on the pair key, then a second
+    Window.partitionBy(doc_id) shuffle of all tf rows) paid two exchanges.
 
     Semantics identical to tokens_long (verified in tests): split on
     space/newline, drop empties, drop OOV, tf per (doc, term),
-    dl = total in-vocab tokens. Use this for the index build whenever the
-    tokenizer is whitespace (SPM tokenization still needs the Python path).
+    dl = total in-vocab tokens. tokens_long (vectorized Arrow path) computes
+    both stats narrowly with NO exchange and is the build default; this is
+    the all-JVM alternative for clusters where Python workers are scarce.
     """
     spark = pages.sparkSession
     vdf = vocab_to_df_minimal(spark, vocab)
@@ -144,8 +168,9 @@ def tokens_long_jvm(
             F.filter(F.split(F.col(text_col), "[ \n]"), lambda t: t != "")
         ).alias("term"),
     )
-    hits = toks.join(F.broadcast(vdf), "term")
-    tf = hits.groupBy("doc_id", "term_id").agg(
+    hits = toks.join(F.broadcast(vdf), "term").select("doc_id", "term_id")
+    clustered = hits.repartition("doc_id")
+    tf = clustered.groupBy("doc_id", "term_id").agg(
         F.count("*").cast("int").alias("tf")
     )
     from pyspark.sql.window import Window
@@ -155,11 +180,19 @@ def tokens_long_jvm(
 
 
 def vocab_to_df_minimal(spark: SparkSession, vocab: Vocab) -> DataFrame:
-    """(term, term_id) dimension for the broadcast tokenize join."""
+    """(term, term_id) dimension for the broadcast tokenize join.
+
+    Schema is explicit: with Arrow conversion disabled (a vanilla session —
+    not our session.py defaults), createDataFrame(pandas) infers numpy int32
+    as LongType, which then poisons the staged-tokens parquet with INT64
+    term_id and makes the stage-2 re-read under the explicit INT32
+    STAGED_TOKENS_SCHEMA throw SchemaColumnConvertNotSupportedException.
+    """
     return spark.createDataFrame(
         pd.DataFrame(
             {"term": vocab.terms, "term_id": np.arange(vocab.size, dtype=np.int32)}
-        )
+        ),
+        schema="term string, term_id int",
     )
 
 

@@ -178,6 +178,36 @@ def test_batch_wand_all_oov(spark, corpus, vocab):
     assert out.count() == 0
 
 
+def test_build_and_wand_with_arrow_disabled(spark, vocab, tmp_path_factory):
+    """Regression (VERDICT r1 #1): on a session WITHOUT Arrow-backed pandas
+    conversion (the driver harness's vanilla session), createDataFrame(pdf)
+    used to infer the vocab dimension's numpy-int32 term_id as LongType; the
+    staged tokens then carried INT64 term_id and the stage-2 re-read under
+    the explicit INT32 schema threw SchemaColumnConvertNotSupportedException.
+    vocab_to_df_minimal now pins the schema; build+query must work either
+    way, on BOTH token paths."""
+    docs = [(i, f"t{i % 7} t{(i * 3) % 11} t1 t2") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    oracle = BM25Oracle(docs, vocab)
+    old = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    try:
+        for jvm in (True, False):
+            d = str(tmp_path_factory.mktemp(f"noarrow{int(jvm)}"))
+            build_postings(
+                spark, df, vocab, d,
+                cfg=PostingsConfig(num_partitions=4, jvm_tokenizer=jvm),
+            )
+            got = [
+                (r["doc_id"], r["score"])
+                for r in bm25_topk_wand(spark, d, "t1 t2", vocab, k=8,
+                                        n_ranges=3).collect()
+            ]
+            _assert_rank_identical(got, oracle.topk("t1 t2", 8), f"noarrow{jvm}")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", old)
+
+
 def test_wand_property_random_corpora(spark, vocab, tmp_path_factory):
     """Full-pipeline property check: random corpus -> build index -> WAND
     top-k must match the oracle (beyond the frozen query set)."""

@@ -64,6 +64,37 @@ def test_vocab_join_is_broadcast(spark, pages_df, vocab):
     assert "BroadcastExchange" in plan
 
 
+def test_staging_write_single_exchange(spark, pages_df, vocab):
+    """The index-build staging plan (VERDICT r1 #5): the default (vectorized
+    Arrow) token path computes tf AND dl narrowly, so the only wide exchange
+    in the whole staging write is the term_bucket repartition."""
+    from pears_fruit_fly_spark.operators.postings import tokens_long
+
+    pages_ids = pages_df.withColumn("doc_id", F.xxhash64("url"))
+    staged = (
+        tokens_long(pages_ids, vocab)
+        .withColumn("term_bucket",
+                    F.pmod(F.xxhash64("term_id"), F.lit(32)).cast("int"))
+        .repartition(32, "term_bucket")
+    )
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_jvm_token_path_tf_and_dl_share_one_exchange(spark, pages_df, vocab):
+    """tokens_long_jvm: HashPartitioning(doc_id) from the explicit repartition
+    must satisfy BOTH the (doc_id, term_id) agg and the dl window — the old
+    shape paid a second Window.partitionBy(doc_id) shuffle of all tf rows."""
+    from pears_fruit_fly_spark.operators.postings import tokens_long_jvm
+
+    pages_ids = pages_df.withColumn("doc_id", F.xxhash64("url"))
+    plan = (
+        tokens_long_jvm(pages_ids, vocab)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_wand_scan_is_partition_pruned(spark, pages_df, vocab, tmp_path_factory):
     from pears_fruit_fly_spark.config import FlyConfig, PostingsConfig
     from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand
