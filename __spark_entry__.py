@@ -186,12 +186,21 @@ def q_keywords_weighted(spark, sf_dir):
 def _bm25_scores_df(spark, sf_dir):
     """Single-job relational BM25: collection stats ride along as a
     broadcast 1-row cross join (exactly like the oracle SQL's CROSS JOIN
-    stats) instead of a separate driver collect."""
+    stats) instead of a separate driver collect.
+
+    Convention (ADVICE r1): n_docs counts ALL documents and avgdl divides by
+    ALL documents — zero-token docs included — matching the index build
+    (postings.py) and the NumPy oracle, so WAND and the relational path stay
+    rank-identical on corpora containing empty docs."""
     tf = q_token_counts(spark, sf_dir).filter(F.col("term").isin(QUERY_TERMS))
     dl = q_doclen(spark, sf_dir)
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    n = _docs(spark, sf_dir).agg(F.count("*").cast("double").alias("n_docs"))
+    tot = dl.agg(F.sum("dl").cast("double").alias("total_tokens"))
+    stats = (
+        n.crossJoin(tot)
+        .withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
+        .select("n_docs", "avgdl")
     )
     hits = (
         tf.join(dl, "doc_id")
@@ -215,7 +224,9 @@ _SQL_BM25_SCORES = """
 WITH toks AS ({toks}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+stats AS (SELECT n_docs, total_tokens / n_docs AS avgdl FROM
+  (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+  (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) AS total_tokens FROM dl)),
 qt AS (SELECT doc_id, term, tf FROM tf WHERE term IN ({terms})),
 dfq AS (SELECT term, count(*) AS df FROM qt GROUP BY 1)
 SELECT qt.doc_id,
@@ -934,7 +945,9 @@ SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
 WITH toks AS ({_toks}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+stats AS (SELECT n_docs, total_tokens / n_docs AS avgdl FROM
+  (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+  (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) AS total_tokens FROM dl)),
 q(query_id, term, qtf) AS (VALUES (0, 'join', 1), (0, 'hash', 1), (1, 'window', 1), (1, 'the', 1), (2, 'scan', 1), (2, 'filter', 1), (2, 'sort', 1)),
 dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 scored AS (SELECT q.query_id, tf.doc_id,

@@ -3,7 +3,7 @@ PeARS-fruit-fly user. Wraps ingest → signatures → index build → query into
 directory-rooted engine object.
 
     eng = SearchEngine(spark, "engine_dir/", vocab, FlyConfig(...), PostingsConfig(...))
-    eng.index(pages_df)                      # resumable; re-call to append/resume
+    eng.index(pages_df)                      # resumable (same corpus only)
     eng.search("some query", k=10)           # BM25 block-max WAND
     eng.search("some query", k=10, mode="hamming")   # fruit-fly NN (ref semantics)
     eng.search("some query", k=10, mode="hybrid")    # Hamming prefilter -> BM25
@@ -71,10 +71,29 @@ class SearchEngine:
     # -- build ------------------------------------------------------------
     def index(self, pages: DataFrame, text_col: str = "text") -> dict:
         """Full build: dedup-latest → doc ids → signatures → postings.
-        Resumable: a re-run with the same engine_dir skips completed index
-        buckets (checkpoint manifest)."""
+
+        Resumable for an INTERRUPTED build of the same corpus: a re-run with
+        the same engine_dir skips completed index buckets (checkpoint
+        manifest). Re-calling with changed pages fails fast BEFORE touching
+        docmap/signatures — doc ids are dense per-corpus, so appending pages
+        would silently re-key everything (ADVICE r1); append via the
+        incremental pods path instead.
+        """
+        from pears_fruit_fly_spark.operators.postings import corpus_fingerprint
+        from pears_fruit_fly_spark.plans.manifest import read_build_info
+
         clean = dedup_latest(pages)
         ids = assign_doc_ids(clean)
+        info_path = os.path.join(self.index_dir, "_build_info.json")
+        if os.path.exists(info_path):
+            recorded = read_build_info(self.index_dir).get("corpus_fingerprint")
+            fp = corpus_fingerprint(clean.join(ids, "url"), text_col)
+            if recorded is not None and recorded != fp:
+                raise ValueError(
+                    f"SearchEngine.index() re-called on {self.dir} with a "
+                    f"different corpus ({fp} != recorded {recorded}); use a "
+                    "fresh engine_dir or the incremental pods path."
+                )
         ids.write.mode("overwrite").parquet(self.docmap_path)
         docmap = self.spark.read.parquet(self.docmap_path)
         pages_ids = clean.join(docmap, "url")

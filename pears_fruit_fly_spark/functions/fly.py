@@ -64,6 +64,14 @@ def make_projection_matrix(
     np.random.default_rng for reproducibility (the reference is unseeded; we
     pin seed=7 as a fixture constant, FIXTURES.md §3).
     """
+    if pn_size < 1 or kc_size < 1 or proj_size < 1:
+        raise ValueError(
+            f"pn_size/kc_size/proj_size must be >= 1, got "
+            f"({pn_size}, {kc_size}, {proj_size})"
+        )
+    # clamp: a vocab smaller than proj_size would make the chunk loop empty
+    # and the while-loop spin forever (ADVICE r1)
+    proj_size = min(proj_size, pn_size)
     rng = np.random.default_rng(seed)
     proj = np.zeros((kc_size, pn_size), dtype=np.uint8)
     row = 0

@@ -27,8 +27,8 @@ terms straddle many ranges (their lists are tiny).
 
 from __future__ import annotations
 
-import heapq
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -53,8 +53,29 @@ SCORE_SCHEMA = StructType(
 )
 
 # Opened-index cache: avoids re-listing parquet files and re-reading
-# build_info on every query (serving-path latency). Keyed by index_dir.
-_INDEX_CACHE: dict[str, tuple[dict, object, object, dict | None]] = {}
+# build_info on every query (serving-path latency). Keyed by
+# (index_dir, _build_info.json mtime) so a rebuild/compaction in the same
+# session evicts the stale entry instead of serving deleted parquet paths
+# and stale n_docs/avgdl/df (ADVICE r1). Bounded: one live entry per dir.
+_INDEX_CACHE: dict[str, tuple[float, dict, object, object, dict | None]] = {}
+
+
+def _build_info_mtime(index_dir: str) -> float:
+    return os.path.getmtime(os.path.join(index_dir, "_build_info.json"))
+
+
+def invalidate_index_cache(index_dir: str | None = None) -> None:
+    """Drop cached index handles (all dirs, or one). Unpersists the pinned
+    term_stats DataFrame so executor memory is released. Called by
+    build_postings/compact_postings; also safe to call manually."""
+    keys = [index_dir] if index_dir is not None else list(_INDEX_CACHE)
+    for key in keys:
+        hit = _INDEX_CACHE.pop(key, None)
+        if hit is not None:
+            try:
+                hit[3].unpersist()
+            except Exception:  # session may already be stopped
+                pass
 
 # Vocabularies up to this size keep (df, bucket) per term in DRIVER memory:
 # the per-query stats lookup then costs zero Spark jobs. Above it (web-scale
@@ -64,9 +85,12 @@ _DRIVER_STATS_MAX_TERMS = 2_000_000
 
 def open_index(spark: SparkSession, index_dir: str):
     """(build_info, postings_df, term_stats_df, driver_stats|None), cached."""
+    mtime = _build_info_mtime(index_dir)
     hit = _INDEX_CACHE.get(index_dir)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] == mtime:
+        return hit[1:]
+    if hit is not None:  # stale build under the same path
+        invalidate_index_cache(index_dir)
     info = read_build_info(index_dir)
     postings = read_postings(spark, index_dir)
     # term_stats is the per-query lookup table: pin it in executor memory
@@ -78,8 +102,8 @@ def open_index(spark: SparkSession, index_dir: str):
             int(r["term_id"]): (int(r["df"]), int(r["term_bucket"]))
             for r in stats.collect()
         }
-    _INDEX_CACHE[index_dir] = (info, postings, stats, driver_stats)
-    return _INDEX_CACHE[index_dir]
+    _INDEX_CACHE[index_dir] = (mtime, info, postings, stats, driver_stats)
+    return _INDEX_CACHE[index_dir][1:]
 
 
 def query_term_counts(query_text: str, vocab: Vocab) -> dict[int, int]:
@@ -248,7 +272,7 @@ def _wand_score_range(
     avgdl: float,
     k1: float,
     b: float,
-    candidates: set[int] | None = None,
+    candidates: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k within one doc range via segment-at-a-time block-max WAND.
 
@@ -256,20 +280,31 @@ def _wand_score_range(
     postings with doc_id <= e live in the runs' current blocks/buffers, so
     their total scores are final after one consume pass — score once, then
     either prune the whole segment (sum of block ubs < theta) or score it.
+
+    The running top-k is kept as two parallel arrays merged with a
+    vectorized lexsort per segment (score desc, doc_id asc) — no per-posting
+    Python heap loop (VERDICT r1 #8). candidates, when given, is a SORTED
+    int64 array (the fruit-fly prefilter set) applied with np.isin.
     """
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-    theta = -1.0
+    top_d = np.empty(0, dtype=np.int64)
+    top_s = np.empty(0, dtype=np.float64)
+    theta = -1.0  # k-th best score once the top-k is full
 
     def push(ids: np.ndarray, scores: np.ndarray) -> None:
-        nonlocal theta
-        for d, s in zip(ids, scores):
-            item = (float(s), -int(d))
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-        if len(heap) == k:
-            theta = heap[0][0]
+        nonlocal top_d, top_s, theta
+        if top_s.size == k:
+            # vectorized pre-prune: equal-score items can still win on
+            # doc_id ties, so keep >= theta
+            m = scores >= theta
+            if not m.any():
+                return
+            ids, scores = ids[m], scores[m]
+        cat_d = np.concatenate([top_d, ids])
+        cat_s = np.concatenate([top_s, scores])
+        order = np.lexsort((cat_d, -cat_s))[:k]
+        top_d, top_s = cat_d[order], cat_s[order]
+        if top_s.size == k:
+            theta = top_s[-1]
 
     while True:
         active = [r for r in runs if r.active()]
@@ -277,7 +312,7 @@ def _wand_score_range(
             break
         e = min(r.cur_last() for r in active)
         ub = sum(r.cur_ub() for r in active if r.cur_first() <= e)
-        if len(heap) == k and ub < theta:
+        if top_s.size == k and ub < theta:
             for r in active:
                 r.skip_blocks_ending_by(e)
             continue
@@ -294,13 +329,12 @@ def _wand_score_range(
             totals = np.zeros(uniq.size, dtype=np.float64)
             np.add.at(totals, inv, scores)
             if candidates is not None:
-                keep = np.fromiter(
-                    (int(d) in candidates for d in uniq), dtype=bool, count=uniq.size
-                )
+                keep = np.isin(uniq, candidates, assume_unique=True)
                 uniq, totals = uniq[keep], totals[keep]
-            push(uniq, totals)
-    out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
-    return [(int(d), float(s)) for s, d in out]
+            if uniq.size:
+                push(uniq, totals)
+    order = np.lexsort((top_d, -top_s))
+    return [(int(top_d[i]), float(top_s[i])) for i in order]
 
 
 def bm25_topk_wand(
@@ -365,7 +399,12 @@ def bm25_topk_wand(
     )
 
     b_weights = spark.sparkContext.broadcast(weights)
-    b_cand = spark.sparkContext.broadcast(candidate_docs)
+    cand_arr = (
+        np.unique(np.fromiter(candidate_docs, dtype=np.int64))
+        if candidate_docs is not None
+        else None
+    )
+    b_cand = spark.sparkContext.broadcast(cand_arr)
 
     def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:

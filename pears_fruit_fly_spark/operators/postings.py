@@ -260,6 +260,21 @@ def _encoder(avgdl: float, bm25: BM25Config, block_size: int):
     return _encode
 
 
+def corpus_fingerprint(pages_with_ids: DataFrame, text_col: str = "text") -> str:
+    """Order-insensitive fingerprint of the (doc_id -> content) mapping.
+
+    count + bit_xor of xxhash64(doc_id, length(text)): catches added/removed
+    docs AND doc-id reassignment (the silent-corruption mode of re-calling a
+    build with changed pages, ADVICE r1) without a full text re-hash — one
+    narrow two-column agg. Identical text lengths under the same ids are
+    treated as the same corpus (documented contract)."""
+    row = pages_with_ids.agg(
+        F.count("*").alias("n"),
+        F.expr(f"bit_xor(xxhash64(doc_id, length({text_col})))").alias("h"),
+    ).collect()[0]
+    return f"{int(row['n'])}:{row['h'] if row['h'] is not None else 0}"
+
+
 def build_postings(
     spark: SparkSession,
     pages_with_ids: DataFrame,
@@ -272,7 +287,12 @@ def build_postings(
     """Full resumable index build. pages_with_ids must carry (doc_id, text).
 
     Returns the build_info dict (N, avgdl, paths, timings). Idempotent:
-    re-invocation skips buckets already recorded in the manifest.
+    re-invocation with the SAME corpus skips buckets already recorded in the
+    manifest (resume of an interrupted build). Re-invocation with a CHANGED
+    corpus fails fast on the recorded corpus fingerprint — doc ids would be
+    reassigned and completed buckets would silently key postings by stale
+    ids (ADVICE r1). True append is the incremental pods path
+    (operators/pods.py), not a re-call of this builder.
     """
     t0 = time.time()
     os.makedirs(index_dir, exist_ok=True)
@@ -281,6 +301,7 @@ def build_postings(
     stats_path = os.path.join(index_dir, "term_stats")
     P = cfg.num_partitions
 
+    fingerprint = corpus_fingerprint(pages_with_ids, text_col)
     done = mf.completed_partitions(spark, index_dir)
     stage_s: dict[str, float] = {}
     if not os.path.exists(os.path.join(index_dir, "_build_info.json")):
@@ -340,10 +361,20 @@ def build_postings(
             "num_partitions": P,
             "skew_df_threshold": cfg.skew_df_threshold,
             "vocab_size": vocab.size,
+            "corpus_fingerprint": fingerprint,
         }
         mf.write_build_info(index_dir, info)
     else:
         info = mf.read_build_info(index_dir)
+        recorded = info.get("corpus_fingerprint")
+        if recorded is not None and recorded != fingerprint:
+            raise ValueError(
+                f"build_postings re-called on {index_dir} with a DIFFERENT "
+                f"corpus (fingerprint {fingerprint} != recorded {recorded}). "
+                "Resume only works for the same input; for a new corpus use "
+                "a fresh index_dir (or delete this one), for appends use the "
+                "incremental pods path."
+            )
         avgdl = info["avgdl"]
 
     # ---- stage 3: encode pending buckets in resumable batches ----
@@ -430,6 +461,10 @@ def build_postings(
     stage_s["encode"] = stage_s.get("encode", 0.0)
     info["build_wall_s"] = time.time() - t0
     info["stage_seconds"] = {k: round(v, 3) for k, v in stage_s.items()}
+    # a rebuild under a previously-opened path must not serve stale handles
+    from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
+
+    invalidate_index_cache(index_dir)
     return info
 
 
@@ -460,6 +495,12 @@ def compact_postings(spark: SparkSession, index_dir: str,
     os.rename(postings_dir, backup)
     os.rename(tmp, postings_dir)
     shutil.rmtree(backup)
+    # cached postings DataFrames reference the old (deleted) files; the
+    # mtime bump also evicts cross-session stale entries (ADVICE r1)
+    os.utime(os.path.join(index_dir, "_build_info.json"))
+    from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
+
+    invalidate_index_cache(index_dir)
 
 
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -51,10 +51,9 @@ def test_compaction_preserves_content_and_queries(
 
     assert _parquet_file_count(d) < n_before
     assert _dump(spark, d) == before_content
-    # cache from before compaction must not serve stale listings
-    from pears_fruit_fly_spark.operators.bm25 import _INDEX_CACHE
-
-    _INDEX_CACHE.pop(d, None)
+    # compact_postings itself must evict the opened-index cache (ADVICE r1):
+    # the pre-compaction query above cached handles to now-DELETED parquet
+    # files; this query must succeed WITHOUT any manual cache pop
     after_q = [(r["doc_id"], r["score"])
                for r in bm25_topk_wand(spark, d, "t0 t3", vocab, k=10).collect()]
     assert after_q == before_q

@@ -136,3 +136,12 @@ def test_featurize_deterministic_across_batch_splits():
          for i in range(0, 40, 7)]
     )
     np.testing.assert_array_equal(all_at_once, chunked)
+
+
+def test_projection_matrix_tiny_vocab_terminates():
+    """ADVICE r1: pn_size < proj_size used to spin the chunk loop forever."""
+    proj = make_projection_matrix(pn_size=3, kc_size=8, proj_size=8, seed=1)
+    assert proj.shape == (8, 3)
+    assert (proj.sum(axis=1) > 0).all()  # every KC row still samples PNs
+    with pytest.raises(ValueError):
+        make_projection_matrix(pn_size=0, kc_size=8, proj_size=4)

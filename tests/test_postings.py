@@ -178,3 +178,36 @@ def test_resume_produces_identical_index(spark, pages_ids, vocab, index_dir, tmp
         )
 
     assert dump(d2) == dump(index_dir)
+
+
+def test_recall_with_changed_corpus_fails_fast(spark, pages_ids, vocab, tmp_path):
+    """ADVICE r1: a completed build re-called with different pages must NOT
+    silently resume (doc ids would be reassigned against stale postings)."""
+    d = str(tmp_path / "fpidx")
+    cfg = PostingsConfig(num_partitions=4)
+    build_postings(spark, pages_ids, vocab, d, cfg=cfg)
+    # same corpus: resume is a no-op and succeeds
+    build_postings(spark, pages_ids, vocab, d, cfg=cfg)
+    changed = pages_ids.filter(F.col("doc_id") != 0)
+    with pytest.raises(ValueError, match="DIFFERENT corpus"):
+        build_postings(spark, changed, vocab, d, cfg=cfg)
+
+
+def test_open_index_cache_evicted_on_rebuild(spark, pages_ids, vocab, tmp_path):
+    """Same-path rebuild (fresh dir contents) must not serve stale handles."""
+    from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand
+
+    d = str(tmp_path / "cacheidx")
+    cfg = PostingsConfig(num_partitions=4)
+    build_postings(spark, pages_ids, vocab, d, cfg=cfg)
+    q1 = [(r["doc_id"], r["score"])
+          for r in bm25_topk_wand(spark, d, "t0 t3", vocab, k=5).collect()]
+    shutil.rmtree(d)
+    # rebuild with a SMALLER corpus under the same path: n_docs/avgdl and the
+    # parquet file set all change; the cached entry must be evicted
+    smaller = pages_ids.filter(F.col("doc_id") < 100)
+    build_postings(spark, smaller, vocab, d, cfg=cfg)
+    q2 = [(r["doc_id"], r["score"])
+          for r in bm25_topk_wand(spark, d, "t0 t3", vocab, k=5).collect()]
+    assert all(doc < 100 for doc, _ in q2)
+    assert q1 != q2
