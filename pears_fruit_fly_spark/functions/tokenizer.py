@@ -38,18 +38,28 @@ def word_tokenize(text: str) -> list[str]:
 SPARK_TOKEN_SPLIT_PATTERN = "[^a-z0-9]+"
 
 
-def sp_tokenize_factory(model_path: str):
-    """Return a SentencePiece tokenizer callable, if the lib is installed.
+def sp_tokenize_factory(model_path: str, vocab_path: str | None = None):
+    """Return a SentencePiece ``encode_as_pieces`` callable.
 
-    Production path (ref: fruit_fly/hash.py:32-33,248 loads spm/spmcc.model);
-    raises ImportError in environments without sentencepiece.
+    Production path (ref: fruit_fly/hash.py:32-33,248 loads spm/spmcc.model).
+    When the sentencepiece lib is absent and a ``.vocab`` export is given
+    (the reference ships one next to every .model), falls back to the pure-
+    Python unigram Viterbi inference in functions/spm.py — same segmentation
+    semantics, no binary-protobuf dependency.
     """
-    import sentencepiece as spm  # noqa: PLC0415 — optional dependency
+    try:
+        import sentencepiece as spm  # noqa: PLC0415 — optional dependency
 
-    sp = spm.SentencePieceProcessor()
-    sp.load(model_path)
+        sp = spm.SentencePieceProcessor()
+        sp.load(model_path)
 
-    def _tok(text: str) -> list[str]:
-        return sp.encode_as_pieces(text)
+        def _tok(text: str) -> list[str]:
+            return sp.encode_as_pieces(text)
 
-    return _tok
+        return _tok
+    except ImportError:
+        if vocab_path is None:
+            raise
+        from pears_fruit_fly_spark.functions.spm import load_unigram_tokenizer
+
+        return load_unigram_tokenizer(vocab_path).encode_as_pieces

@@ -41,11 +41,21 @@ class TopicFilterModel:
         """Drop rows where any banned topic's probability exceeds its
         threshold (classify_removal semantics, LDAmodel.py:16-25)."""
         scored = self.topic_distribution(df, text_col)
-        probs = vector_to_array("topicDistribution")
-        keep = F.lit(True)
-        for topic_id, thr in banned.items():
-            keep = keep & (probs[int(topic_id)] <= F.lit(float(thr)))
-        return scored.filter(keep).drop("topicDistribution")
+        return scored.filter(keep_condition(banned)).drop("topicDistribution")
+
+
+def keep_condition(banned: dict[int, float], dist_col: str = "topicDistribution"):
+    """Column predicate implementing the reference's removal rule EXACTLY
+    (LDAmodel.py:16-25 classify_removal): a doc is dropped (label=1) iff ANY
+    banned topic's probability is STRICTLY greater than its threshold; kept
+    otherwise (filter_documents.py:75-80 keeps label != 1). Separated from
+    the model so the decision rule is contract-testable against hand-set
+    topic matrices without training an LDA (VERDICT r1 #9)."""
+    probs = vector_to_array(dist_col)
+    keep = F.lit(True)
+    for topic_id, thr in banned.items():
+        keep = keep & (probs[int(topic_id)] <= F.lit(float(thr)))
+    return keep
 
 
 def train_topic_filter(

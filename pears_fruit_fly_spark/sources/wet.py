@@ -24,7 +24,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from pears_fruit_fly_spark.config import INGEST_MIN_CHARS
 
@@ -101,18 +107,109 @@ def dedup_latest(
     )
 
 
-def read_wet_files(spark, paths: str) -> DataFrame:
-    """Production WET ingest: binaryFile scan + warcio inside mapInPandas.
+def parse_wet_records(raw: bytes):
+    """No-dependency WARC/WET record splitter over raw shard bytes.
 
-    Gated: warcio is not installed in this sandbox; the extraction semantics
-    it would feed are fully covered by extract_pages over the (url, warc_ts,
-    html, ...) table shape (BASELINE.json input_hint).
+    The WARC format is line-delimited headers terminated by an empty line,
+    then exactly Content-Length payload bytes, then a blank-line separator
+    (what warcio's ArchiveIterator walks in the reference,
+    cc_process_wet.py:62,76). Yields (headers: dict lower-cased, payload
+    bytes) per record; tolerates missing/invalid Content-Length by skipping
+    to the next 'WARC/' magic. Pure bytes — payload is NOT decoded here, so
+    the byte-identity contract of extract_text is preserved downstream.
     """
-    try:
-        import warcio  # noqa: F401, PLC0415
-    except ImportError as e:  # pragma: no cover - sandbox has no warcio
-        raise NotImplementedError(
-            "warcio not available in this environment; ingest from the "
-            "(url, warc_ts, html, text, lang) table instead"
-        ) from e
-    raise NotImplementedError("WET file ingest wired in production builds only")
+    pos, n = 0, len(raw)
+    while pos < n:
+        head_end = raw.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        header_block = raw[pos:head_end]
+        lines = header_block.split(b"\r\n")
+        if not lines or not lines[0].startswith(b"WARC/"):
+            nxt = raw.find(b"WARC/", pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().decode("utf-8", "replace").lower()] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            nxt = raw.find(b"WARC/", head_end)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        body_start = head_end + 4
+        payload = raw[body_start : body_start + clen]
+        yield headers, payload
+        pos = body_start + clen
+        # skip the inter-record blank lines (spec: two CRLFs)
+        while raw.startswith(b"\r\n", pos):
+            pos += 2
+
+
+WET_PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+    ]
+)
+
+
+def read_wet_files(spark, paths: str | list[str]) -> DataFrame:
+    """WET shard ingest → (url, warc_ts, html) rows, no external libs.
+
+    Plan: binaryFile scan (one row per shard — the natural Common-Crawl
+    granularity, ~150 MB each, so task = shard exactly like the reference's
+    per-file loop, cc_process_wet.py:58-88) → mapInPandas record splitter.
+    `.gz` shards are decompressed member-by-member (WET files are
+    multi-member gzip). Record filter mirrors read_doc_wet + the rec_type
+    check (cc_process_wet.py:41-54,80): keep `conversion` records carrying a
+    WARC-Target-URI. Payload bytes land UNdecoded in `html`; run
+    extract_pages for the byte-identical (title, text) and ingest_filter /
+    lang-id downstream.
+    """
+    import gzip
+    import io
+    from collections.abc import Iterator
+
+    files = spark.read.format("binaryFile").load(paths)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if path.endswith(".gz"):
+                    # GzipFile consumes ALL members of a multi-member stream
+                    with gzip.GzipFile(fileobj=io.BytesIO(raw)) as g:
+                        raw = g.read()
+                urls, tss, payloads = [], [], []
+                for headers, payload in parse_wet_records(raw):
+                    if headers.get("warc-type") != "conversion":
+                        continue
+                    url = headers.get("warc-target-uri")
+                    if not url:
+                        continue
+                    urls.append(url)
+                    tss.append(headers.get("warc-date"))
+                    payloads.append(payload)
+                if urls:
+                    yield pd.DataFrame(
+                        {
+                            "url": urls,
+                            "warc_ts": pd.to_datetime(
+                                tss, errors="coerce", utc=True
+                            ).tz_localize(None),
+                            "html": payloads,
+                        }
+                    )
+
+    return files.select("path", "content").mapInPandas(_parse, WET_PAGES_SCHEMA)

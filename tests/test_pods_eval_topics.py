@@ -151,3 +151,59 @@ def test_build_vocab_from_corpus(spark, labeled_corpus):
     # most frequent term first, deterministic tie order
     cfs = vdf["cf"].tolist()
     assert cfs == sorted(cfs, reverse=True)
+
+
+def test_topic_filter_decision_contract(spark):
+    """Behavioral contract vs the reference's classify_removal
+    (common_crawl_processor/LDAmodel.py:16-25) + keep rule
+    (filter_documents.py:75-80): identical hand-set topic matrix must yield
+    identical drop decisions — strict > on banned thresholds, first
+    exceedance drops, non-banned topics ignored (VERDICT r1 #9)."""
+    import numpy as np
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from pears_fruit_fly_spark.operators.topicfilter import keep_condition
+
+    def classify_removal_reference(tops: list[float],
+                                   topics: dict[int, float]) -> int:
+        # transcription of LDAmodel.py:16-25 (gensim get_document_topics
+        # with minimum_probability=0 returns every (topic_id, prob) pair)
+        label = 0
+        for tid, prob in enumerate(tops):
+            if tid in topics.keys():
+                if prob > topics[tid]:
+                    label = 1
+                    break
+        return label
+
+    banned = {0: 0.5, 2: 0.3}
+    rng = np.random.default_rng(42)
+    rows = []
+    # hand-set edge rows: exactly-at-threshold (kept: strict >), just-above
+    # (dropped), banned-below + non-banned-high (kept)
+    fixed = [
+        [0.5, 0.2, 0.3],     # t0 == thr, t2 == thr -> kept
+        [0.50001, 0.2, 0.1], # t0 just above -> dropped
+        [0.1, 0.0, 0.30001], # t2 just above -> dropped
+        [0.2, 0.9, 0.1],     # only non-banned topic high -> kept
+        [0.0, 1.0, 0.0],     # kept
+    ]
+    for v in fixed:
+        rows.append(v)
+    for _ in range(40):
+        v = rng.dirichlet([0.7, 0.7, 0.7]).tolist()
+        rows.append(v)
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], "doc_id long, dist array<double>"
+    ).withColumn("topicDistribution", array_to_vector("dist"))
+
+    kept_spark = {
+        r["doc_id"] for r in df.filter(keep_condition(banned)).collect()
+    }
+    kept_ref = {
+        i for i, v in enumerate(rows) if classify_removal_reference(v, banned) != 1
+    }
+    assert kept_spark == kept_ref
+    assert 0 in kept_spark and 3 in kept_spark and 4 in kept_spark
+    assert 1 not in kept_spark and 2 not in kept_spark
