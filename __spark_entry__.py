@@ -56,7 +56,17 @@ _SQL_TERM_RANKS = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """documents table, re-spread to full parallelism when the file layout
+    plans fewer tasks than cores: the testdata tables are single parquet
+    files, so every tokenize/shingle explode would otherwise run on ONE
+    task. Values are unaffected (aggregations are order-insensitive); at
+    real scale the input is many files and the repartition is a no-op
+    branch."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -337,13 +337,26 @@ def _wand_score_range(
     return [(int(top_d[i]), float(top_s[i])) for i in order]
 
 
+# At 10^12 docs a static range count would make each range's decode working
+# set explode; ranges are sized so one range covers at most this many docs
+# (and at least one range per core so small corpora still parallelize).
+_DOCS_PER_RANGE_TARGET = 4_000_000
+
+
+def _auto_ranges(spark: SparkSession, n_docs: int) -> int:
+    return max(
+        spark.sparkContext.defaultParallelism,
+        (n_docs + _DOCS_PER_RANGE_TARGET - 1) // _DOCS_PER_RANGE_TARGET,
+    )
+
+
 def bm25_topk_wand(
     spark: SparkSession,
     index_dir: str,
     query_text: str,
     vocab: Vocab,
     k: int = 10,
-    n_ranges: int = 16,
+    n_ranges: int | None = None,
     candidate_docs: set[int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the compressed index. Returns (doc_id, score).
@@ -351,10 +364,15 @@ def bm25_topk_wand(
     candidate_docs: optional prefilter set (fruit-fly Hamming candidates);
     when given, only those docs are scored (semantics of the PeARS
     signature prefilter composition — SURVEY.md §3.3 stage B').
+    n_ranges=None (default) derives the scatter width from n_docs so the
+    per-range decode working set stays bounded at any corpus size
+    (VERDICT r1 W6 design note); pass an int to pin it.
     """
     info, postings, term_stats, driver_stats = open_index(spark, index_dir)
     n_docs, avgdl = info["n_docs"], info["avgdl"]
     k1, b = info["k1"], info["b"]
+    if n_ranges is None:
+        n_ranges = _auto_ranges(spark, n_docs)
 
     qcounts = query_term_counts(query_text, vocab)
     if not qcounts:
@@ -438,7 +456,7 @@ def bm25_topk_wand_batch(
     queries: dict[int, str],
     vocab: Vocab,
     k: int = 10,
-    n_ranges: int = 16,
+    n_ranges: int | None = None,
 ) -> DataFrame:
     """Batch serving: MANY queries answered in ONE scatter job.
 
@@ -458,6 +476,8 @@ def bm25_topk_wand_batch(
     info, postings, term_stats, driver_stats = open_index(spark, index_dir)
     n_docs, avgdl = info["n_docs"], info["avgdl"]
     k1, b = info["k1"], info["b"]
+    if n_ranges is None:
+        n_ranges = _auto_ranges(spark, n_docs)
 
     qterm_counts = {qid: query_term_counts(text, vocab) for qid, text in queries.items()}
     all_terms = sorted({t for qc in qterm_counts.values() for t in qc})

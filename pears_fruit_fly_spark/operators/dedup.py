@@ -303,10 +303,23 @@ def ngram_jaccard_pairs(
     the join (skew guard — a ubiquitous shingle would produce df^2 pairs).
     Dropped shingles are excluded from BOTH intersection and union, i.e. this
     computes Jaccard over the filtered shingle space (documented semantics).
+
+    Physical notes: the input is re-spread to full parallelism when the
+    upstream scan is coarser (a single small parquet file plans ONE task for
+    the expensive shingle explode otherwise), and the shingle table is
+    persisted — it feeds the size agg, the df guard and BOTH join sides, so
+    without it the scan+explode lineage re-executes up to 4x per action.
+    This operator is the exact/oracle path; LSH (minhash_lsh_dedup_pairs)
+    is the at-scale candidate generator.
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles_array(text_col, n))).alias("g"),
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    grams = src.select(
+        "id",
+        F.explode(F.array_distinct(shingles_array("_t", n))).alias("g"),
     )
     if max_ngram_df is not None:
         keep = (
@@ -315,6 +328,7 @@ def ngram_jaccard_pairs(
             .select("g")
         )
         grams = grams.join(keep, "g")
+    grams = grams.persist()
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (

@@ -260,6 +260,14 @@ def _encoder(avgdl: float, bm25: BM25Config, block_size: int):
     return _encode
 
 
+def _corpus_fingerprint_row(pages_with_ids: DataFrame, text_col: str = "text"):
+    """One narrow agg: corpus row count + order-insensitive content hash."""
+    return pages_with_ids.agg(
+        F.count("*").alias("n"),
+        F.expr(f"bit_xor(xxhash64(doc_id, length({text_col})))").alias("h"),
+    ).collect()[0]
+
+
 def corpus_fingerprint(pages_with_ids: DataFrame, text_col: str = "text") -> str:
     """Order-insensitive fingerprint of the (doc_id -> content) mapping.
 
@@ -268,10 +276,7 @@ def corpus_fingerprint(pages_with_ids: DataFrame, text_col: str = "text") -> str
     build with changed pages, ADVICE r1) without a full text re-hash — one
     narrow two-column agg. Identical text lengths under the same ids are
     treated as the same corpus (documented contract)."""
-    row = pages_with_ids.agg(
-        F.count("*").alias("n"),
-        F.expr(f"bit_xor(xxhash64(doc_id, length({text_col})))").alias("h"),
-    ).collect()[0]
+    row = _corpus_fingerprint_row(pages_with_ids, text_col)
     return f"{int(row['n'])}:{row['h'] if row['h'] is not None else 0}"
 
 
@@ -301,7 +306,10 @@ def build_postings(
     stats_path = os.path.join(index_dir, "term_stats")
     P = cfg.num_partitions
 
-    fingerprint = corpus_fingerprint(pages_with_ids, text_col)
+    # ONE pass serves both the fingerprint check and n_docs (no separate
+    # count job — the fingerprint must not add an input scan to the build)
+    fp_row = _corpus_fingerprint_row(pages_with_ids, text_col)
+    fingerprint = f"{int(fp_row['n'])}:{fp_row['h'] if fp_row['h'] is not None else 0}"
     done = mf.completed_partitions(spark, index_dir)
     stage_s: dict[str, float] = {}
     if not os.path.exists(os.path.join(index_dir, "_build_info.json")):
@@ -343,7 +351,7 @@ def build_postings(
         term_stats.write.mode("overwrite").parquet(stats_path)
         term_stats = spark.read.parquet(stats_path)
 
-        n_docs = int(pages_with_ids.agg(F.count("*").alias("n")).collect()[0]["n"])
+        n_docs = int(fp_row["n"])
         total_tokens = int(
             term_stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
         )

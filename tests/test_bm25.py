@@ -241,3 +241,21 @@ def test_wand_property_random_corpora(spark, vocab, tmp_path_factory):
                                         n_ranges=3).collect()
             ]
             _assert_rank_identical(got, oracle.topk(qtext, 8), f"wp{trial}")
+
+
+def test_wand_auto_ranges(spark, corpus, vocab):
+    """n_ranges=None derives scatter width from n_docs (scale note, VERDICT
+    r1 W6): small corpus -> one range per core, results rank-identical."""
+    from pears_fruit_fly_spark.operators.bm25 import _auto_ranges
+
+    assert _auto_ranges(spark, 100) == spark.sparkContext.defaultParallelism
+    assert _auto_ranges(spark, 40_000_000) == 10  # 4M docs per range
+    row = QUERIES.iloc[7]
+    want = corpus["oracle"].topk(row.query_text, int(row.k))
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_wand(
+            spark, corpus["dir"], row.query_text, vocab, k=int(row.k)
+        ).collect()
+    ]
+    _assert_rank_identical(got, want, "auto_ranges")
