@@ -174,13 +174,19 @@ def minhash_lsh_dedup_pairs(
     shingle_size: int = 2,
     jaccard_threshold: float = 0.8,
     seed: int = 13,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified with EXACT Jaccard.
 
     Returns (id_a, id_b, jaccard double). The verify join touches only
-    candidate pairs, not the full cross product.
+    candidate pairs, not the full cross product. ``sigs`` optionally
+    supplies a precomputed (id, minhash) table (e.g. staged to parquet for
+    cross-engine verification of the banding+verify stages).
     """
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size, seed)
+    if sigs is None:
+        sigs = minhash_signatures(
+            df, id_col, text_col, n_hashes, shingle_size, seed
+        )
     cands = lsh_candidate_pairs(sigs, n_bands)
     sets_ = df.select(
         F.col(id_col).alias("id"),
