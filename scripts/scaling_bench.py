@@ -69,6 +69,19 @@ for rep in range(3):
     t0 = time.time(); probe_df.mapInPandas(_burn, "x long").count()
     probe_s = min(probe_s, time.time() - t0)
 
+# shuffle probe: ONE wide exchange of 40M (long, long) rows, pure JVM —
+# isolates the exchange machinery (hash-write + fetch + hash-agg) from the
+# Python/numpy kernels, per VERDICT r1 (fixed work, only threads vary).
+from pyspark.sql import functions as _F
+shuf = (spark.range(40_000_000, numPartitions=64)
+        .withColumn("k", _F.col("id") % 1_000_000))
+shuf.repartition(64, "k").groupBy("k").agg(_F.count("*")).count()  # warm
+shuffle_s = 1e9
+for rep in range(3):
+    t0 = time.time()
+    shuf.repartition(64, "k").groupBy("k").agg(_F.count("*")).count()
+    shuffle_s = min(shuffle_s, time.time() - t0)
+
 sig_s = 1e9
 for rep in range(3):  # best-of-3: the host has noisy neighbors
     t0 = time.time()
@@ -89,7 +102,7 @@ for rep in range(2):  # best-of-2 (expensive)
                                       max_docs_per_subpartition=20000))
     idx_s = min(idx_s, time.time() - t0)
 print(json.dumps({{"cpus": cpus, "sig_s": sig_s, "idx_s": idx_s,
-                   "probe_s": probe_s,
+                   "probe_s": probe_s, "shuffle_s": shuffle_s,
                    "stages": info.get("stage_seconds", {{}})}}))
 spark.stop()
 """
@@ -144,6 +157,7 @@ def main() -> None:
     eff_sig = (results[8]["sig_s"] / results[32]["sig_s"]) / 4
     eff_idx = (results[8]["idx_s"] / results[32]["idx_s"]) / 4
     eff_probe = (results[8]["probe_s"] / results[32]["probe_s"]) / 4
+    eff_shuffle = (results[8]["shuffle_s"] / results[32]["shuffle_s"]) / 4
     out = {
         "n_docs": n_docs,
         "plan_constants": {"input_files": N_FILES, "shuffle_partitions": N_PARTS,
@@ -161,6 +175,11 @@ def main() -> None:
         "scaling_efficiency_sig": round(eff_sig, 3),
         "scaling_efficiency_index": round(eff_idx, 3),
         "scaling_efficiency_fixed_task_probe": round(eff_probe, 3),
+        "scaling_efficiency_shuffle_probe": round(eff_shuffle, 3),
+        "shuffle_probe_note": "one wide exchange of 40M (long,long) rows, "
+                              "pure JVM (no Python workers): isolates the "
+                              "exchange machinery from the numpy kernels "
+                              "(VERDICT r1 'isolate shuffle from kernel')",
         "probe_note": "64 identical 1s CPU tasks through the same "
                       "mapInPandas machinery: isolates engine/scheduler "
                       "scaling from this VM's per-core throughput falloff "
