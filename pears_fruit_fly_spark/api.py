@@ -102,7 +102,14 @@ class SearchEngine:
             self.spark, pages_ids, self.vocab, self.fly_cfg,
             text_col=text_col, projection=self.projection,
         ).join(docmap, "url")
-        sigs.write.mode("overwrite").parquet(self.sig_path)
+        # seg-partitioned layout: append() can then OVERWRITE exactly its
+        # own segment's partition, making appends idempotent under replay
+        (
+            sigs.withColumn("seg", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(self.sig_path)
+        )
 
         return build_postings(
             self.spark, pages_ids, self.vocab, self.index_dir,
@@ -150,7 +157,18 @@ class SearchEngine:
             self.spark, pages_ids, self.vocab, self.fly_cfg,
             text_col=text_col, projection=self.projection,
         ).join(new_ids, "url")
-        sigs.write.mode("append").parquet(self.sig_path)
+        # idempotent: a replayed append overwrites ITS OWN seg partition
+        # (segment name = corpus fingerprint) instead of duplicating rows
+        seg_name = "seg_" + str(seg_info.get("corpus_fingerprint", "x")).replace(
+            ":", "_"
+        )
+        (
+            sigs.withColumn("seg", F.lit(seg_name))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg")
+            .parquet(self.sig_path)
+        )
         new_ids.write.mode("append").parquet(self.docmap_path)
         return seg_info
 

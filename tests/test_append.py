@@ -171,3 +171,69 @@ def test_search_engine_append_e2e(spark, vocab, fly_cfg, pages_pdf, tmp_path):
     eng.merge()
     assert list_segments(eng.index_dir) == []
     assert eng.search("t1 t3", k=10).count() > 0
+
+
+def test_append_is_idempotent_under_replay(spark, vocab, fly_cfg, pages_pdf,
+                                            tmp_path):
+    """A replayed append (streaming at-least-once) must converge to the
+    same on-disk state: no duplicate signatures, no duplicate docmap rows,
+    no extra segments."""
+    from pears_fruit_fly_spark.api import SearchEngine
+
+    eng = SearchEngine(spark, str(tmp_path / "eng"), vocab, fly_cfg,
+                       PostingsConfig(num_partitions=4))
+    eng.index(spark.createDataFrame(pages_pdf.iloc[:100]))
+    batch = spark.createDataFrame(pages_pdf.iloc[100:130])
+    eng.append(batch)
+    sig_rows = spark.read.parquet(eng.sig_path).count()
+    doc_rows = spark.read.parquet(eng.docmap_path).count()
+    segs = list_segments(eng.index_dir)
+    # replay the SAME batch (url-level no-op path)
+    assert eng.append(batch) == {}
+    assert spark.read.parquet(eng.sig_path).count() == sig_rows
+    assert spark.read.parquet(eng.docmap_path).count() == doc_rows
+    assert list_segments(eng.index_dir) == segs
+
+
+def test_streaming_index_append(spark, vocab, fly_cfg, pages_pdf, tmp_path):
+    """Continuous indexing e2e: micro-batches become queryable segments;
+    restarting the stream over the same checkpoint adds nothing."""
+    from pears_fruit_fly_spark.api import SearchEngine
+    from pears_fruit_fly_spark.streaming.index_stream import (
+        start_index_append_stream,
+    )
+
+    eng = SearchEngine(spark, str(tmp_path / "eng"), vocab, fly_cfg,
+                       PostingsConfig(num_partitions=4))
+    eng.index(spark.createDataFrame(pages_pdf.iloc[:100]))
+    n_base = spark.read.parquet(eng.docmap_path).count()
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(pages_pdf.iloc[100:140]).write.mode("append").parquet(inp)
+    q = start_index_append_stream(spark, inp, eng, ckpt)
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(eng.docmap_path).count()
+    assert n1 > n_base
+    assert len(list_segments(eng.index_dir)) >= 1
+    # appended docs show up in search over the merged view
+    assert eng.search("t1 t3", k=max(10, n1)).count() > 0
+
+    # second wave of files
+    spark.createDataFrame(pages_pdf.iloc[140:170]).write.mode("append").parquet(inp)
+    q2 = start_index_append_stream(spark, inp, eng, ckpt)
+    q2.awaitTermination(180)
+    n2 = spark.read.parquet(eng.docmap_path).count()
+    assert n2 > n1
+    # restart over the same checkpoint: nothing new to process
+    q3 = start_index_append_stream(spark, inp, eng, ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(eng.docmap_path).count() == n2
+    # docmap stays a bijection
+    dm = spark.read.parquet(eng.docmap_path)
+    assert dm.count() == dm.select("url").distinct().count()
+    assert dm.count() == dm.select("doc_id").distinct().count()
+    # maintenance merge folds everything back to one base
+    eng.merge()
+    assert list_segments(eng.index_dir) == []
+    assert eng.search("t1 t3", k=10).count() > 0
