@@ -111,6 +111,35 @@ def main() -> None:
     timings["bm25_batch_40q"] = time.time() - t0
     extras["bm25_batch_sec_per_query"] = round(timings["bm25_batch_40q"] / 40, 4)
 
+    # ---- incremental append + merged-read query -----------------------------
+    from pyspark.sql import functions as F
+
+    from pears_fruit_fly_spark.operators.postings import append_postings
+
+    extra_pdf = make_web_pages(n=4000, v=VOCAB_V, seed=999)
+    extra_pdf["url"] = "https://append." + extra_pdf["url"].str.removeprefix("https://")
+    extra_path = os.path.join(work, "extra_pages")
+    spark.createDataFrame(extra_pdf).write.mode("overwrite").parquet(extra_path)
+    clean_x = dedup_latest(spark.read.parquet(extra_path))
+    max_id = pages_ids.agg(F.max("doc_id")).collect()[0][0]
+    ids_x = assign_doc_ids(clean_x, "url").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(int(max_id) + 1)
+    )
+    extra_ids = clean_x.join(ids_x, "url")
+    t0 = time.time()
+    append_postings(spark, extra_ids, vocab, index_dir,
+                    cfg=PostingsConfig(num_partitions=2 * CPUS,
+                                       skew_df_threshold=5000,
+                                       max_docs_per_subpartition=5000))
+    timings["index_append"] = time.time() - t0
+    extras["append_docs_per_sec"] = round(
+        clean_x.count() / timings["index_append"], 1
+    )
+    t0 = time.time()
+    bm25_topk_wand(spark, index_dir, qset.iloc[1].query_text, vocab, k=10,
+                   n_ranges=CPUS).collect()
+    timings["bm25_wand_merged_read"] = time.time() - t0
+
     # ---- Hamming signature query -------------------------------------------
     sigs = spark.read.parquet(sig_path)
     qsig = featurize_query(qset.iloc[0].query_text, vocab, fly_cfg)

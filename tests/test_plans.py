@@ -116,6 +116,34 @@ def test_wand_scan_is_partition_pruned(spark, pages_df, vocab, tmp_path_factory)
     assert "TakeOrderedAndProject" in plan
 
 
+def test_merged_segment_scan_is_pruned_on_both_sides(spark, vocab, tmp_path_factory):
+    """Append segments: the query-term bucket filter must push through the
+    UNION so base AND segment scans are both partition-pruned."""
+    import re
+
+    from pears_fruit_fly_spark.config import PostingsConfig
+    from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand
+    from pears_fruit_fly_spark.operators.postings import (
+        append_postings,
+        build_postings,
+    )
+
+    d = str(tmp_path_factory.mktemp("segplan")) + "/idx"
+    cfg = PostingsConfig(num_partitions=8)
+    docs = [(i, f"t{i % 7} t{(i * 3) % 11} t1") for i in range(60)]
+    build_postings(spark, spark.createDataFrame(docs, "doc_id long, text string"),
+                   vocab, d, cfg=cfg)
+    docs2 = [(i, f"t{i % 5} t2") for i in range(60, 100)]
+    append_postings(spark, spark.createDataFrame(docs2, "doc_id long, text string"),
+                    vocab, d, cfg=cfg)
+    plan = (
+        bm25_topk_wand(spark, d, "t1 t2", vocab, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pruned = re.findall(r"PartitionFilters: \[[^\]]*term_bucket[^\]]*IN[^\]]*\]", plan)
+    assert len(pruned) == 2  # base scan AND segment scan
+
+
 def test_cosine_topk_single_stage_no_wide_shuffle(spark):
     import numpy as np
 
