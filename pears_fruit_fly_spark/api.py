@@ -43,7 +43,17 @@ class SearchEngine:
         fly_cfg: FlyConfig | None = None,
         postings_cfg: PostingsConfig | None = None,
         bm25_cfg: BM25Config | None = None,
+        spm_tokenize: bool = False,
     ):
+        """spm_tokenize=True reproduces the reference's production
+        featurization (fruit_fly/hash.py:248): raw text is SentencePiece-
+        unigram piece-encoded BEFORE counting/indexing, using the vocab's
+        own (piece, logprob) pairs as the unigram model — i.e. pass a Vocab
+        parsed from an SPM `.vocab` export (parse_vocab_lines already reads
+        that format) and both the fly hashing and the inverted index operate
+        on pieces. Queries are piece-encoded with the same model at search
+        time. False = whitespace tokens (pre-pieced or word-level corpora).
+        """
         self.spark = spark
         self.dir = engine_dir
         self.vocab = vocab
@@ -54,6 +64,27 @@ class SearchEngine:
             vocab.size, self.fly_cfg.kc_size, self.fly_cfg.proj_size,
             self.fly_cfg.seed,
         )
+        self.piece_scores: dict[str, float] | None = None
+        self._query_tokenizer = None
+        if spm_tokenize:
+            from pears_fruit_fly_spark.functions.spm import UnigramTokenizer
+
+            self.piece_scores = {
+                t: float(lp) for t, lp in zip(vocab.terms, vocab.logprobs)
+            }
+            self._query_tokenizer = UnigramTokenizer(self.piece_scores)
+
+    def _piece_encode_pages(self, pages: DataFrame, text_col: str) -> DataFrame:
+        if self.piece_scores is None:
+            return pages
+        from pears_fruit_fly_spark.operators.pieces import piece_encode
+
+        return piece_encode(pages, self.piece_scores, text_col=text_col)
+
+    def _encode_query(self, query_text: str) -> str:
+        if self._query_tokenizer is None:
+            return query_text
+        return " ".join(self._query_tokenizer.encode_as_pieces(query_text))
 
     # -- paths ------------------------------------------------------------
     @property
@@ -82,7 +113,7 @@ class SearchEngine:
         from pears_fruit_fly_spark.operators.postings import corpus_fingerprint
         from pears_fruit_fly_spark.plans.manifest import read_build_info
 
-        clean = dedup_latest(pages)
+        clean = self._piece_encode_pages(dedup_latest(pages), text_col)
         ids = assign_doc_ids(clean)
         info_path = os.path.join(self.index_dir, "_build_info.json")
         if os.path.exists(info_path):
@@ -132,7 +163,7 @@ class SearchEngine:
         """
         from pears_fruit_fly_spark.operators.postings import append_postings
 
-        clean = dedup_latest(pages)
+        clean = self._piece_encode_pages(dedup_latest(pages), text_col)
         docmap = self.spark.read.parquet(self.docmap_path)
         new = clean.join(docmap.select("url"), "url", "left_anti")
         if new.isEmpty():
@@ -189,6 +220,7 @@ class SearchEngine:
         n_ranges: int = 16,
     ) -> DataFrame:
         """Top-k search. Returns (url, doc_id, score|hamming)."""
+        query_text = self._encode_query(query_text)
         docmap = self.spark.read.parquet(self.docmap_path)
         if mode == "hamming":
             sigs = self.spark.read.parquet(self.sig_path)

@@ -152,3 +152,51 @@ def F_col_str(c):
     from pyspark.sql import functions as F
 
     return F.col(c).cast("string")
+
+
+def test_search_engine_spm_mode_e2e(spark, tmp_path):
+    """Production featurization parity (ref fruit_fly/hash.py:248): with
+    spm_tokenize=True the engine piece-encodes raw text before hashing and
+    indexing, so concatenated words a whitespace tokenizer would miss are
+    segmented into in-vocab pieces — for both documents AND queries."""
+    import datetime as dt
+
+    import numpy as np
+
+    from pears_fruit_fly_spark.api import SearchEngine
+    from pears_fruit_fly_spark.config import FlyConfig, PostingsConfig
+    from pears_fruit_fly_spark.functions.vocab import Vocab
+
+    terms = sorted(VOCAB)
+    vocab = Vocab(terms=terms, logprobs=np.array([VOCAB[t] for t in terms]))
+    ts = dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("u1", ts, None, "thequick them", "en"),   # no spaces around pieces
+            ("u2", ts, None, "me the me", "en"),
+            ("u3", ts, None, "quickquickquick", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    eng = SearchEngine(
+        spark, str(tmp_path / "eng"), vocab,
+        FlyConfig(pn_size=vocab.size, kc_size=16, proj_size=4, top_words=5,
+                  wta_percent=25.0, seed=3),
+        PostingsConfig(num_partitions=2),
+        spm_tokenize=True,
+    )
+    eng.index(pages)
+    # 'thequick' query segments to the same pieces as u1's text
+    hits = {r["url"]: r["score"] for r in eng.search("thequick", k=3).collect()}
+    assert "u1" in hits
+    # whitespace-mode engine on the same data finds NOTHING for this query
+    eng_ws = SearchEngine(
+        spark, str(tmp_path / "engws"), vocab,
+        FlyConfig(pn_size=vocab.size, kc_size=16, proj_size=4, top_words=5,
+                  wta_percent=25.0, seed=3),
+        PostingsConfig(num_partitions=2),
+    )
+    eng_ws.index(pages)
+    assert eng_ws.search("thequick", k=3).count() == 0
+    # hamming mode also piece-encodes the query
+    assert eng.search("thequick", k=3, mode="hamming").count() > 0
