@@ -56,8 +56,11 @@ SCORE_SCHEMA = StructType(
 # build_info on every query (serving-path latency). Keyed by
 # (index_dir, _build_info.json mtime) so a rebuild/compaction in the same
 # session evicts the stale entry instead of serving deleted parquet paths
-# and stale n_docs/avgdl/df (ADVICE r1). Bounded: one live entry per dir.
-_INDEX_CACHE: dict[str, tuple[float, dict, object, object, dict | None]] = {}
+# and stale n_docs/avgdl/df (ADVICE r1). Bounded two ways: one live entry
+# per dir, and an LRU cap across dirs (each entry pins a persisted
+# term_stats DataFrame in executor memory).
+_INDEX_CACHE: dict[str, tuple] = {}
+_INDEX_CACHE_MAX_DIRS = 8
 
 
 def _index_version(index_dir: str):
@@ -108,9 +111,12 @@ def open_index(spark: SparkSession, index_dir: str):
     version = _index_version(index_dir)
     hit = _INDEX_CACHE.get(index_dir)
     if hit is not None and hit[0] == version:
+        _INDEX_CACHE[index_dir] = _INDEX_CACHE.pop(index_dir)  # LRU touch
         return hit[1:]
     if hit is not None:  # stale build under the same path
         invalidate_index_cache(index_dir)
+    while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX_DIRS:
+        invalidate_index_cache(next(iter(_INDEX_CACHE)))  # evict LRU
 
     seg_dirs = list_segments(index_dir)
     base_info = read_build_info(index_dir)

@@ -134,8 +134,7 @@ def lsh_candidate_pairs(
 
     Shuffles only on (band, band_hash) — collisions are the candidates.
     """
-    n_hashes = None  # derived per row via slice
-    rows_per_band = F.size("minhash") / n_bands
+    rows_per_band = F.size("minhash") / n_bands  # hash count derived per row
     banded = minhash_df.select(
         "id",
         F.posexplode(
