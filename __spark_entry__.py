@@ -528,6 +528,17 @@ def q_token_count(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Within-doc repetition quality gate (dup-line fraction + top-bigram
+    share) — the boilerplate/spam detector of LLM-data pipelines."""
+    from pears_fruit_fly_spark.operators.textstats import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_lines", "dup_line_frac",
+        "top_bigram_share",
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped agg over lineitem (partial+final hash agg)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -924,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_token_count": q_token_count,
+        "q_repetition": q_repetition,
         "q_pricing_summary": q_pricing_summary,
         "q_top_customers": q_top_customers,
         "q_events_daily": q_events_daily,
@@ -1180,6 +1192,24 @@ WHERE rank <= 10
             "CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
             "x -> x <> '')) + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
             "AS INT) AS n_pieces FROM documents"
+        ),
+        "q_repetition": (
+            "WITH ls AS (SELECT doc_id, list_filter(string_split(text, chr(10)), "
+            "  x -> trim(x) <> '') AS ls FROM documents), "
+            "lines AS (SELECT doc_id, len(ls) AS n_lines, "
+            "  len(list_distinct(ls)) AS n_distinct FROM ls), "
+            "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+            "  '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+            "bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+            "  i -> toks[i] || ' ' || toks[i+1])) AS g FROM toks), "
+            "bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2), "
+            "share AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) "
+            "  AS top_bigram_share FROM bc GROUP BY 1) "
+            "SELECT lines.doc_id, CAST(n_lines AS INT) AS n_lines, "
+            "round(CASE WHEN n_lines > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE) "
+            "  / n_lines ELSE 0.0 END, 6) AS dup_line_frac, "
+            "coalesce(share.top_bigram_share, 0.0) AS top_bigram_share "
+            "FROM lines LEFT JOIN share USING (doc_id)"
         ),
         "q_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -203,11 +203,67 @@ class SearchEngine:
         new_ids.write.mode("append").parquet(self.docmap_path)
         return seg_info
 
+    def delete(self, urls) -> int:
+        """Tombstone-delete urls (Lucene liveDocs semantics): deleted docs
+        vanish from every search IMMEDIATELY; collection stats (df, N,
+        avgdl) stay pre-delete until merge() physically purges them.
+        Re-adding a deleted url becomes possible after merge() (which also
+        drops it from the docmap). Returns total tombstoned ids.
+
+        urls: iterable of url strings or a single-column DataFrame."""
+        from pears_fruit_fly_spark.operators.postings import delete_docs
+
+        if isinstance(urls, DataFrame):
+            udf = urls.select(F.col(urls.columns[0]).alias("url"))
+        else:
+            udf = self.spark.createDataFrame([(u,) for u in urls], "url string")
+        docmap = self.spark.read.parquet(self.docmap_path)
+        ids = docmap.join(F.broadcast(udf), "url", "left_semi").select("doc_id")
+        return delete_docs(self.spark, self.index_dir, ids)
+
     def merge(self) -> dict:
         """Fold all append segments into the base index (multi-way posting
-        merge; recomputes global stats so block-max bounds are tight)."""
-        from pears_fruit_fly_spark.operators.postings import merge_segments
+        merge; recomputes global stats so block-max bounds are tight) and
+        physically purge tombstoned docs from postings, docmap and
+        signatures. Maintenance job — run it offline; not crash-atomic
+        across the three artifacts (a re-run completes the purge: the
+        tombstone set is only dropped with the index swap, last)."""
+        from pears_fruit_fly_spark.operators.postings import (
+            merge_segments,
+            read_tombstones,
+        )
 
+        tomb = read_tombstones(self.spark, self.index_dir)
+        if tomb is not None:
+            import shutil
+
+            ids = [int(x) for x in tomb]
+            docmap = self.spark.read.parquet(self.docmap_path)
+            deleted_urls = docmap.filter(F.col("doc_id").isin(ids)).select("url")
+
+            def _rewrite(path: str, df_writer) -> None:
+                # distributed rewrite-and-swap (never overwrite a path being
+                # read; never materialize tables on the driver)
+                tmp, backup = path + "_rewrite", path + "_old"
+                df_writer(tmp)
+                shutil.rmtree(backup, ignore_errors=True)
+                os.rename(path, backup)
+                os.rename(tmp, path)
+                shutil.rmtree(backup)
+
+            # sigs first: deleted_urls lazily reads the docmap file, so the
+            # docmap swap must happen AFTER every plan that depends on it
+            sigs = self.spark.read.parquet(self.sig_path)
+            _rewrite(
+                self.sig_path,
+                lambda p: sigs.join(F.broadcast(deleted_urls), "url", "left_anti")
+                .write.mode("overwrite").partitionBy("seg").parquet(p),
+            )
+            _rewrite(
+                self.docmap_path,
+                lambda p: docmap.filter(~F.col("doc_id").isin(ids))
+                .write.mode("overwrite").parquet(p),
+            )
         return merge_segments(self.spark, self.index_dir)
 
     # -- query ------------------------------------------------------------
@@ -223,7 +279,15 @@ class SearchEngine:
         query_text = self._encode_query(query_text)
         docmap = self.spark.read.parquet(self.docmap_path)
         if mode == "hamming":
+            from pears_fruit_fly_spark.operators.postings import read_tombstones
+
             sigs = self.spark.read.parquet(self.sig_path)
+            tomb = read_tombstones(self.spark, self.index_dir)
+            if tomb is not None:
+                dead = docmap.filter(
+                    F.col("doc_id").isin([int(x) for x in tomb])
+                ).select("url")
+                sigs = sigs.join(F.broadcast(dead), "url", "left_anti")
             qsig = featurize_query(
                 query_text, self.vocab, self.fly_cfg, self.projection
             )

@@ -66,12 +66,19 @@ _INDEX_CACHE_MAX_DIRS = 8
 def _index_version(index_dir: str):
     """Cache key covering the base AND every append segment: adding a
     segment, rebuilding, or merging all change it."""
-    from pears_fruit_fly_spark.operators.postings import list_segments
+    from pears_fruit_fly_spark.operators.postings import (
+        TOMBSTONES_DIRNAME,
+        list_segments,
+    )
 
     paths = [index_dir] + list_segments(index_dir)
-    return tuple(
+    version = [
         os.path.getmtime(os.path.join(p, "_build_info.json")) for p in paths
-    )
+    ]
+    tomb = os.path.join(index_dir, TOMBSTONES_DIRNAME)
+    if os.path.isdir(tomb):
+        version.append(os.path.getmtime(tomb))
+    return tuple(version)
 
 
 def invalidate_index_cache(index_dir: str | None = None) -> None:
@@ -105,8 +112,15 @@ def open_index(spark: SparkSession, index_dir: str):
     block-max WAND pruning remains exact. Scoring itself needs no
     correction: dl travels inside the blocks and impacts are computed at
     decode time with the global avgdl.
+
+    Tombstoned doc ids (postings.delete_docs) ride along as a sorted array
+    and are masked out of every query; stats stay pre-delete until
+    merge_segments purges them (Lucene liveDocs semantics).
     """
-    from pears_fruit_fly_spark.operators.postings import list_segments
+    from pears_fruit_fly_spark.operators.postings import (
+        list_segments,
+        read_tombstones,
+    )
 
     version = _index_version(index_dir)
     hit = _INDEX_CACHE.get(index_dir)
@@ -174,7 +188,10 @@ def open_index(spark: SparkSession, index_dir: str):
             int(r["term_id"]): (int(r["df"]), int(r["term_bucket"]))
             for r in stats.collect()
         }
-    _INDEX_CACHE[index_dir] = (version, info, postings, stats, driver_stats)
+    tombstones = read_tombstones(spark, index_dir)
+    _INDEX_CACHE[index_dir] = (
+        version, info, postings, stats, driver_stats, tombstones
+    )
     return _INDEX_CACHE[index_dir][1:]
 
 
@@ -345,6 +362,7 @@ def _wand_score_range(
     k1: float,
     b: float,
     candidates: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k within one doc range via segment-at-a-time block-max WAND.
 
@@ -403,6 +421,9 @@ def _wand_score_range(
             if candidates is not None:
                 keep = np.isin(uniq, candidates, assume_unique=True)
                 uniq, totals = uniq[keep], totals[keep]
+            if excluded is not None and uniq.size:
+                keep = ~np.isin(uniq, excluded, assume_unique=True)
+                uniq, totals = uniq[keep], totals[keep]
             if uniq.size:
                 push(uniq, totals)
     order = np.lexsort((top_d, -top_s))
@@ -440,7 +461,9 @@ def bm25_topk_wand(
     per-range decode working set stays bounded at any corpus size
     (VERDICT r1 W6 design note); pass an int to pin it.
     """
-    info, postings, term_stats, driver_stats = open_index(spark, index_dir)
+    info, postings, term_stats, driver_stats, tombstones = open_index(
+        spark, index_dir
+    )
     n_docs, avgdl = info["n_docs"], info["avgdl"]
     k1, b = info["k1"], info["b"]
     if n_ranges is None:
@@ -498,6 +521,7 @@ def bm25_topk_wand(
         else None
     )
     b_cand = spark.sparkContext.broadcast(cand_arr)
+    b_excl = spark.sparkContext.broadcast(tombstones)
 
     def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -509,7 +533,9 @@ def bm25_topk_wand(
         for (t, s), grp in pdf.groupby(["term_id", "salt"], sort=True):
             grp = grp.sort_values("first_doc")
             runs.append(_Run(grp.to_dict("records"), w[int(t)], lo, hi))
-        top = _wand_score_range(runs, k, avgdl, k1, b, candidates=b_cand.value)
+        top = _wand_score_range(runs, k, avgdl, k1, b,
+                                candidates=b_cand.value,
+                                excluded=b_excl.value)
         return pd.DataFrame(top, columns=["doc_id", "score"])
 
     local_topk = blocks.groupBy("range_id").applyInPandas(_score_group, SCORE_SCHEMA)
@@ -548,7 +574,9 @@ def bm25_topk_wand_batch(
     """
     from pyspark.sql.window import Window
 
-    info, postings, term_stats, driver_stats = open_index(spark, index_dir)
+    info, postings, term_stats, driver_stats, tombstones = open_index(
+        spark, index_dir
+    )
     n_docs, avgdl = info["n_docs"], info["avgdl"]
     k1, b = info["k1"], info["b"]
     if n_ranges is None:
@@ -598,12 +626,14 @@ def bm25_topk_wand_batch(
     )
 
     b_qweights = spark.sparkContext.broadcast(qweights)
+    b_excl = spark.sparkContext.broadcast(tombstones)
 
     def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
         rid = int(pdf["range_id"].iloc[0])
         lo, hi = rid * range_width, (rid + 1) * range_width - 1
+        excl = b_excl.value
         # decode every block once; accumulate per-term posting arrays
         from pears_fruit_fly_spark.operators.codec import decode_block
 
@@ -612,6 +642,8 @@ def bm25_topk_wand_batch(
         for rec in pdf.to_dict("records"):
             ids, tfs, dls = decode_block(rec)
             mask = (ids >= lo) & (ids <= hi)
+            if excl is not None:
+                mask &= ~np.isin(ids, excl)
             if not mask.any():
                 continue
             t = int(rec["term_id"])

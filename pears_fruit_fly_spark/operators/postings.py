@@ -656,11 +656,14 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
     import shutil
 
     segs = list_segments(index_dir)
-    if not segs:
+    tombstones = read_tombstones(spark, index_dir)
+    if not segs and tombstones is None:
         return mf.read_build_info(index_dir)
     infos = [mf.read_build_info(index_dir)] + [mf.read_build_info(d) for d in segs]
     base = infos[0]
     n_docs = sum(i["n_docs"] for i in infos)
+    if tombstones is not None:
+        n_docs -= int(tombstones.size)  # contract: tombstoned ids exist
     min_doc = min((i.get("min_doc") for i in infos if i.get("min_doc") is not None),
                   default=None)
     max_doc = max((i.get("max_doc") for i in infos if i.get("max_doc") is not None),
@@ -680,9 +683,25 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
     )
     tmp = index_dir + "_merging"
     shutil.rmtree(tmp, ignore_errors=True)
+    decoded = _decoded_tokens_factory(spark, [index_dir] + segs)
+    if tombstones is not None:
+        b_tomb = spark.sparkContext.broadcast(tombstones)
+        inner = decoded
+
+        def decoded_minus_tombstones() -> DataFrame:
+            ts = [int(x) for x in b_tomb.value]
+            if len(ts) <= 10_000:
+                # small set: JVM-side isin, stays inside whole-stage codegen
+                return inner().filter(~F.col("doc_id").isin(ts))
+            # large set: broadcast anti-join (isin expression trees degrade)
+            tdf = spark.createDataFrame([(x,) for x in ts], "doc_id long")
+            return inner().join(F.broadcast(tdf), "doc_id", "left_anti")
+
+        decoded = decoded_minus_tombstones
+        fingerprint += f":deleted={len(tombstones)}"
     info = _build_from_tokens(
         spark,
-        _decoded_tokens_factory(spark, [index_dir] + segs),
+        decoded,
         fingerprint,
         n_docs=n_docs, min_doc=min_doc, max_doc=max_doc,
         vocab_size=base.get("vocab_size", 0), index_dir=tmp,
@@ -698,6 +717,50 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
 
     invalidate_index_cache(index_dir)
     return info
+
+
+TOMBSTONES_DIRNAME = "_tombstones"
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
+    """Tombstone deletes, Lucene liveDocs-style: doc ids are recorded under
+    <index_dir>/_tombstones/ and excluded from every query IMMEDIATELY;
+    posting bytes and collection statistics (df, n_docs, avgdl) are only
+    physically purged at merge_segments — until then surviving docs keep
+    their pre-delete scores (the standard deletes-visible/stats-stale
+    contract of segment-based engines). Returns the number of ids recorded.
+
+    doc_ids: iterable of ints or a single-column DataFrame of doc ids.
+    """
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        ids = [(int(d),) for d in doc_ids]
+        if not ids:
+            return 0
+        df = spark.createDataFrame(ids, "doc_id long")
+    path = os.path.join(index_dir, TOMBSTONES_DIRNAME)
+    df.distinct().write.mode("append").parquet(path)
+    n = spark.read.parquet(path).distinct().count()
+    from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
+
+    invalidate_index_cache(index_dir)
+    return n
+
+
+def read_tombstones(spark: SparkSession, index_dir: str):
+    """Sorted int64 array of tombstoned doc ids, or None if there are none.
+
+    Collected to the driver and broadcast into the scoring kernels (the
+    liveDocs bitset analog); between merges the set stays query-set-sized —
+    heavy delete volume is the signal to run merge_segments."""
+    path = os.path.join(index_dir, TOMBSTONES_DIRNAME)
+    if not os.path.isdir(path):
+        return None
+    rows = spark.read.parquet(path).distinct().collect()
+    if not rows:
+        return None
+    return np.unique(np.fromiter((r["doc_id"] for r in rows), dtype=np.int64))
 
 
 def compact_postings(spark: SparkSession, index_dir: str,

@@ -131,3 +131,61 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toks.groupBy("id").agg(
         F.pmod(F.sum(contrib), F.lit(_FP_MOD)).alias("fingerprint")
     )
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition detection — the Dolma/RedPajama-style
+    quality gate that catches boilerplate/spam pages (not in the reference,
+    mandated by the task's training-data-pipeline families):
+
+      * dup_line_frac   — 1 - distinct_nonempty_lines / nonempty_lines
+      * top_bigram_share — occurrences of the most frequent token bigram
+                           over total bigram count
+
+    Pure Column algebra (split/explode/window), no UDFs; one shuffle per
+    aggregation keyed by doc id — scales like every other per-doc stat.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""
+        ).alias("ls"),
+    )
+    line_stats = lines.select(
+        "id",
+        F.size("ls").alias("n_lines"),
+        F.size(F.array_distinct("ls")).alias("n_distinct"),
+    ).select(
+        "id",
+        "n_lines",
+        F.round(
+            F.when(F.col("n_lines") > 0,
+                   1.0 - F.col("n_distinct") / F.col("n_lines"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+    )
+
+    from pears_fruit_fly_spark.operators.dedup import shingles_array
+
+    bi = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_array(text_col, 2)).alias("g"),
+    )
+    counts = bi.groupBy("id", "g").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+    )
+    bigram = per_doc.select(
+        "id",
+        F.round(F.col("top_c") / F.col("total_c"), 6).alias("top_bigram_share"),
+    )
+    return (
+        line_stats.join(bigram, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("n_lines").cast("int").alias("n_lines"),
+            "dup_line_frac",
+            F.coalesce("top_bigram_share", F.lit(0.0)).alias("top_bigram_share"),
+        )
+    )
