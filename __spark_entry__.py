@@ -893,14 +893,49 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate NN via hyperplane LSH buckets (recall-traded — no oracle)."""
-    from pears_fruit_fly_spark.operators.similarity import lsh_ann_topk
+    """Approximate NN via hyperplane LSH buckets. Bucketing uses seeded
+    random hyperplanes (not SQL-expressible; recall is pytest-verified), so
+    the Spark query STAGES the probed candidate ids and the DuckDB oracle
+    verifies the exact-cosine top-k RANKING over the identical candidate
+    set — same staged-input pattern as q_hamming_topk/q_minhash_lsh_pairs."""
+    from pears_fruit_fly_spark.operators.similarity import lsh_bucket
+    import numpy as np
 
     emb = _read(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
-    return lsh_ann_topk(emb, qv, k=10, n_planes=5, multiprobe_bits=2)
+    qv = np.asarray(
+        emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    )
+    # candidate generation (mirrors lsh_ann_topk's probing)
+    rng = np.random.default_rng(23)
+    planes = rng.standard_normal((5, qv.size))
+    qbucket = int("".join(map(str, (planes @ qv > 0).astype(int))), 2)
+    probe = {qbucket}
+    for i in range(5):
+        probe.add(qbucket ^ (1 << i))
+        for j in range(i + 1, 5):
+            probe.add(qbucket ^ (1 << i) ^ (1 << j))
+    cand = emb.withColumn("_bucket", lsh_bucket(F.col("embedding"), planes)).filter(
+        F.col("_bucket").isin(list(probe))
+    )
+    cand_path = HAMMING_STAGE_DIR + "/ann_candidates"
+    cand.select("vec_id").write.mode("overwrite").parquet(cand_path)
+    staged_ids = spark.read.parquet(cand_path)
+    from pears_fruit_fly_spark.operators.similarity import cosine as _cos
+
+    # rank on the ROUNDED cosine (same cross-engine convention as
+    # q_embedding_topk: float tie-breaks must not depend on the 5th decimal)
+    scored = emb.join(staged_ids, "vec_id").select(
+        "vec_id",
+        F.round(_cos(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])), 4)
+        .alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1315,6 +1350,21 @@ WHERE rank <= 10
             "  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j "
             "  FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b) "
             "SELECT id_a, id_b, round(j, 4) AS jaccard FROM ver WHERE j >= 0.4"
+        ),
+        # ANN-LSH: exact-cosine top-k ranking verified over the STAGED
+        # probed-candidate set (bucketing itself is seeded-hyperplane math,
+        # recall pytest-verified)
+        "q_ann_lsh": (
+            f"WITH c AS (SELECT vec_id FROM "
+            f"read_parquet('{HAMMING_STAGE_DIR}/ann_candidates/*.parquet')), "
+            "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "scored AS (SELECT e.vec_id, round(list_cosine_similarity("
+            "  CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 4) AS cosine "
+            "  FROM embeddings e JOIN c USING (vec_id) CROSS JOIN q) "
+            "SELECT vec_id, cosine, CAST(rank AS INT) AS rank FROM ("
+            "  SELECT vec_id, cosine, row_number() OVER ("
+            "    ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored) "
+            "WHERE rank <= 10"
         ),
         # Hamming top-k: the Spark query stages the fly signatures (packed
         # int64 words) + the query signature to parquet; the oracle verifies
