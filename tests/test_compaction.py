@@ -36,12 +36,24 @@ def test_compaction_preserves_content_and_queries(
     clean = dedup_latest(pages_df)
     pages_ids = clean.join(assign_doc_ids(clean, "url"), "url")
     d = str(tmp_path_factory.mktemp("compact"))
-    # bucket_batch_size=2 -> multiple write jobs -> multiple files per bucket
     build_postings(
         spark, pages_ids, vocab, d,
         cfg=PostingsConfig(num_partitions=4, skew_df_threshold=50,
                            max_docs_per_subpartition=40, bucket_batch_size=2),
     )
+    # builds now write ONE file per bucket (post-encode bucket shuffle), so
+    # fragment the index artificially to exercise the small-file cleanup:
+    # rewrite each bucket as many per-row-group files via a wide repartition
+    import shutil
+
+    postings_path = os.path.join(d, "postings")
+    frag = spark.read.option("basePath", postings_path).parquet(postings_path)
+    tmp = postings_path + "_frag"
+    frag.repartition(16).write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(tmp)
+    shutil.rmtree(postings_path)
+    os.rename(tmp, postings_path)
     before_content = _dump(spark, d)
     before_q = [(r["doc_id"], r["score"])
                 for r in bm25_topk_wand(spark, d, "t0 t3", vocab, k=10).collect()]
