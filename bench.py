@@ -101,6 +101,20 @@ def main() -> None:
     timings["bm25_wand_p95"] = lat[int(0.95 * (len(lat) - 1))]
     extras["bm25_wand_p50"] = round(lat[len(lat) // 2], 4)
 
+    # serving fast path: pruned blocks collected, same kernel on the driver
+    lat_fp = []
+    for qid in range(0, 40, 2):
+        qtext = qset.iloc[qid].query_text
+        t0 = time.time()
+        bm25_topk_wand(spark, index_dir, qtext, vocab, k=10,
+                       driver_fast_path_max_df=1 << 30).collect()
+        lat_fp.append(time.time() - t0)
+    lat_fp.sort()
+    extras["bm25_wand_fastpath_p50"] = round(lat_fp[len(lat_fp) // 2], 4)
+    extras["bm25_wand_fastpath_p95"] = round(
+        lat_fp[int(0.95 * (len(lat_fp) - 1))], 4
+    )
+
     # batch serving: 40 queries in one scatter job
     from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand_batch
 

@@ -273,7 +273,8 @@ class SearchEngine:
         k: int = 10,
         mode: str = "bm25",
         prefilter_k: int = 1000,
-        n_ranges: int = 16,
+        n_ranges: int | None = None,
+        fast_path_max_df: int | None = 200_000,
     ) -> DataFrame:
         """Top-k search. Returns (url, doc_id, score|hamming)."""
         query_text = self._encode_query(query_text)
@@ -307,9 +308,13 @@ class SearchEngine:
         elif mode != "bm25":
             raise ValueError(f"unknown mode {mode!r}")
 
+        # serving default: small queries (summed df <= fast_path_max_df)
+        # skip the scatter — one collect of the pruned compressed blocks,
+        # same WAND kernel on the driver, rank-identical (tested)
         top = bm25_topk_wand(
             self.spark, self.index_dir, query_text, self.vocab, k=k,
             n_ranges=n_ranges, candidate_docs=candidates,
+            driver_fast_path_max_df=fast_path_max_df,
         )
         return (
             top.join(docmap, "doc_id")

@@ -259,3 +259,37 @@ def test_wand_auto_ranges(spark, corpus, vocab):
         ).collect()
     ]
     _assert_rank_identical(got, want, "auto_ranges")
+
+
+def test_driver_fast_path_rank_identity(spark, corpus, vocab):
+    """The small-query driver fast path (one collect of the pruned blocks,
+    same kernel locally) must be rank-identical to the distributed scatter
+    — incl. with a candidate prefilter and on OOV-only queries."""
+    for qid in (0, 17, 63, 96):
+        row = QUERIES.iloc[qid]
+        want = corpus["oracle"].topk(row.query_text, int(row.k))
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_wand(
+                spark, corpus["dir"], row.query_text, vocab, k=int(row.k),
+                driver_fast_path_max_df=1 << 30,
+            ).collect()
+        ]
+        _assert_rank_identical(got, want, f"fast{qid}")
+    # prefilter composition through the fast path
+    row = QUERIES.iloc[3]
+    full = corpus["oracle"].topk(row.query_text, 50)
+    cand = {d for d, _ in full[::2]}
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_wand(
+            spark, corpus["dir"], row.query_text, vocab, k=10,
+            candidate_docs=cand, driver_fast_path_max_df=1 << 30,
+        ).collect()
+    ]
+    _assert_rank_identical(got, [(d, s) for d, s in full if d in cand][:10],
+                           "fastpre")
+    assert (
+        bm25_topk_wand(spark, corpus["dir"], "zz_oov", vocab, k=5,
+                       driver_fast_path_max_df=1 << 30).count() == 0
+    )
