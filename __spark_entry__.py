@@ -539,6 +539,44 @@ def q_repetition(spark, sf_dir):
     )
 
 
+# messy-URL template shared by the Spark query and the DuckDB oracle:
+# mixed-case scheme/host, default port, utm_* params, fragment
+_URL_TEMPLATE_SQL = (
+    "concat('HTTPS://WWW.', source, '.ExAmple.COM:443/Path/', doc_id, "
+    "'/?utm_source=feed&id=', doc_id, '&utm_campaign=x#frag')"
+)
+_PII_TEMPLATE_SQL = (
+    "concat('Contact UsEr.', doc_id, '@Mail.ExAmple.ORG or +1 (555) 01', "
+    "doc_id, ' now; alt admin@ExAmple.org here')"
+)
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (crawl-dedup prerequisite): lowercase
+    scheme+host, strip default ports / fragments / utm_* params. Input urls
+    synthesized deterministically from documents so the operator's string
+    algebra is fully oracled."""
+    from pears_fruit_fly_spark.operators.scrub import canonicalize_url
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_URL_TEMPLATE_SQL).alias("url")
+    )
+    return docs.select("doc_id", canonicalize_url("url").alias("canonical_url"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails/phones) over deterministic
+    synthesized text — counts and the redacted string both oracled."""
+    from pears_fruit_fly_spark.operators.scrub import pii_scrub
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_TEMPLATE_SQL).alias("text")
+    )
+    return pii_scrub(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_emails", "n_phones", "redacted"
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped agg over lineitem (partial+final hash agg)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -971,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_token_count": q_token_count,
         "q_repetition": q_repetition,
+        "q_url_canonical": q_url_canonical,
+        "q_pii_scrub": q_pii_scrub,
         "q_pricing_summary": q_pricing_summary,
         "q_top_customers": q_top_customers,
         "q_events_daily": q_events_daily,
@@ -1227,6 +1267,32 @@ WHERE rank <= 10
             "CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
             "x -> x <> '')) + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
             "AS INT) AS n_pieces FROM documents"
+        ),
+        # same RE2-safe regexes as operators/scrub.py, 'g' flag = Spark's
+        # replace-all semantics
+        "q_url_canonical": (
+            f"WITH u AS (SELECT doc_id, {_URL_TEMPLATE_SQL} AS url FROM documents), "
+            "s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM u), "
+            "parts AS (SELECT doc_id, u, "
+            "  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, "
+            "  regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(80|443)$', '', 'g') AS host, "
+            "  regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g'), "
+            "    'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]+$', '', 'g'), "
+            "    '\\?&', '?', 'g'), '/$', '', 'g') AS rest "
+            "  FROM s1) "
+            "SELECT doc_id, CASE WHEN scheme = '' THEN u "
+            "ELSE concat(scheme, '://', host, rest) END AS canonical_url FROM parts"
+        ),
+        "q_pii_scrub": (
+            f"WITH t AS (SELECT doc_id, {_PII_TEMPLATE_SQL} AS text FROM documents), "
+            "e AS (SELECT doc_id, text, "
+            "  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM t) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, "
+            "CAST(len(regexp_extract_all(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS INT) AS n_phones, "
+            "regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted "
+            "FROM e"
         ),
         "q_repetition": (
             "WITH ls AS (SELECT doc_id, list_filter(string_split(text, chr(10)), "

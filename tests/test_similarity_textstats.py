@@ -161,3 +161,42 @@ def test_streaming_signature_append(spark, tmp_path, vocab, fly_cfg, pages_pdf):
     q2 = start_signature_stream(spark, inp, outp, ckpt, vocab, fly_cfg)
     q2.awaitTermination(120)
     assert spark.read.parquet(outp).count() == 150
+
+
+def test_url_canonicalization_edges(spark):
+    from pears_fruit_fly_spark.operators.scrub import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/A/?utm_source=x&id=5&utm_campaign=y#f",
+         "https://www.example.com/Path/A/?id=5"),
+        ("http://Host.Org:80/", "http://host.org"),
+        ("http://host.org/a/b/", "http://host.org/a/b"),
+        ("https://h.io/p?utm_medium=z", "https://h.io/p"),
+        ("no-scheme/just/path", "no-scheme/just/path"),  # passthrough
+        ("HTTP://H.IO", "http://h.io"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonicalize_url("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_pii_scrub_edges(spark):
+    from pears_fruit_fly_spark.operators.scrub import pii_scrub
+
+    rows = [
+        (0, "mail a.b@c.de and X@Y.org, call +1 (555) 123-4567."),
+        (1, "no pii here"),
+        (2, "phone 0123 456 789 only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert got[0]["n_emails"] == 2 and got[0]["n_phones"] == 1
+    assert "<EMAIL>" in got[0]["redacted"] and "<PHONE>" in got[0]["redacted"]
+    assert "a.b@c.de" not in got[0]["redacted"]
+    assert "555" not in got[0]["redacted"]
+    assert got[1]["n_emails"] == 0 and got[1]["n_phones"] == 0
+    assert got[1]["redacted"] == "no pii here"
+    assert got[2]["n_phones"] == 1
