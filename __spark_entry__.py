@@ -577,6 +577,20 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): flag docs
+    sharing any word 5-gram with the 'benchmark' set (deterministically
+    the texts of doc_id < 3). Broadcast-joined — zero wide shuffle before
+    the per-doc count."""
+    from pears_fruit_fly_spark.operators.dedup import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 3).select("text")
+    return ngram_contamination(docs, "doc_id", "text", bench, n=5).select(
+        F.col("id").alias("doc_id"), "n_hits", "contaminated"
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped agg over lineitem (partial+final hash agg)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1011,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_url_canonical": q_url_canonical,
         "q_pii_scrub": q_pii_scrub,
+        "q_decontaminate": q_decontaminate,
         "q_pricing_summary": q_pricing_summary,
         "q_top_customers": q_top_customers,
         "q_events_daily": q_events_daily,
@@ -1267,6 +1282,20 @@ WHERE rank <= 10
             "CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
             "x -> x <> '')) + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
             "AS INT) AS n_pieces FROM documents"
+        ),
+        "q_decontaminate": (
+            "WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "  lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+            "docg AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "  range(1, len(toks)-3), i -> toks[i] || ' ' || toks[i+1] || ' ' || "
+            "  toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g "
+            "  FROM tl WHERE len(toks) >= 5), "
+            "bg AS (SELECT DISTINCT g FROM docg WHERE doc_id < 3), "
+            "hits AS (SELECT docg.doc_id, CAST(count(*) AS INT) AS n "
+            "  FROM docg JOIN bg USING (g) GROUP BY 1) "
+            "SELECT d.doc_id, CAST(coalesce(hits.n, 0) AS INT) AS n_hits, "
+            "coalesce(hits.n, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id"
         ),
         # same RE2-safe regexes as operators/scrub.py, 'g' flag = Spark's
         # replace-all semantics

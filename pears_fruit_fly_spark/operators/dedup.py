@@ -418,3 +418,50 @@ def embedding_cosine_dup_pairs(
         pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos)
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    n: int = 13,
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Training-data decontamination: flag documents sharing any word
+    n-gram with a benchmark/eval set (the GPT-3-style 13-gram overlap
+    filter — not in the reference, mandated by the task's
+    training-data-pipeline families).
+
+    Returns (id, n_hits, contaminated): count of DISTINCT shared n-grams
+    per doc and a boolean flag. Plan: the benchmark shingle set is tiny
+    relative to the corpus, so the join broadcasts it — the corpus side
+    stays a narrow scan + explode with ZERO wide shuffle before the final
+    per-doc count; at 100 TB this is a map-side-joined single pass.
+    """
+    doc_grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_array(text_col, n))).alias("g"),
+    )
+    bench_grams = benchmark.select(
+        F.explode(F.array_distinct(shingles_array(bench_text_col, n))).alias("g")
+    ).distinct()
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count("*").cast("int").alias("n_hits"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            F.coalesce(F.col("n_hits") > 0, F.lit(False)).alias("contaminated"),
+        )
+    )

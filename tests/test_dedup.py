@@ -138,3 +138,31 @@ def test_embedding_cosine_lsh_finds_brute_force_pairs(spark, vecs):
     }
     assert lsh <= bf  # LSH never invents pairs (verify step is exact)
     assert {(0, 1), (0, 2), (1, 2)} <= lsh  # ~parallel vectors share buckets
+
+
+def test_ngram_contamination(spark):
+    """GPT-3-style benchmark decontamination: overlap counts exact, short
+    docs can never be contaminated, broadcast join plan."""
+    from pears_fruit_fly_spark.operators.dedup import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # contains bench gram
+            (1, "alpha beta gamma other words here"),     # shares 3-gram prefix
+            (2, "totally different content entirely now"),
+            (3, "alpha beta"),                            # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta filler filler",)], "text string"
+    )
+    out = ngram_contamination(docs, "doc_id", "text", bench, n=3)
+    got = {r["id"]: (r["n_hits"], r["contaminated"]) for r in out.collect()}
+    # doc0 shares 'alpha beta gamma' and 'beta gamma delta' -> 2 hits
+    assert got[0] == (2, True)
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
