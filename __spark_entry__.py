@@ -1304,14 +1304,18 @@ WHERE rank <= 10
             "s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM u), "
             "parts AS (SELECT doc_id, u, "
             "  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, "
-            "  regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(80|443)$', '', 'g') AS host, "
+            "  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS rawhost, "
             "  regexp_replace(regexp_replace(regexp_replace(regexp_replace("
             "    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g'), "
-            "    'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]+$', '', 'g'), "
+            "    '([?&])(utm_[a-z]+=[^&#]*&?)+', '\\1', 'g'), '[?&]+$', '', 'g'), "
             "    '\\?&', '?', 'g'), '/$', '', 'g') AS rest "
-            "  FROM s1) "
+            "  FROM s1), "
+            "h AS (SELECT *, CASE WHEN scheme = 'http' THEN "
+            "    regexp_replace(rawhost, ':80$', '', 'g') "
+            "  WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '', 'g') "
+            "  ELSE rawhost END AS host FROM parts) "
             "SELECT doc_id, CASE WHEN scheme = '' THEN u "
-            "ELSE concat(scheme, '://', host, rest) END AS canonical_url FROM parts"
+            "ELSE concat(scheme, '://', host, rest) END AS canonical_url FROM h"
         ),
         "q_pii_scrub": (
             f"WITH t AS (SELECT doc_id, {_PII_TEMPLATE_SQL} AS text FROM documents), "

@@ -110,9 +110,24 @@ class SearchEngine:
         would silently re-key everything (ADVICE r1); append via the
         incremental pods path instead.
         """
-        from pears_fruit_fly_spark.operators.postings import corpus_fingerprint
+        from pears_fruit_fly_spark.operators.postings import (
+            corpus_fingerprint,
+            list_segments,
+        )
         from pears_fruit_fly_spark.plans.manifest import read_build_info
 
+        # fail fast on an engine that has append segments: the fingerprint
+        # guard below only compares against the BASE corpus, so re-indexing
+        # the base would pass it and then statically overwrite docmap and
+        # all signature partitions — appended docs would keep counting in
+        # df/avgdl but silently vanish from results (ADVICE r2, medium)
+        if list_segments(self.index_dir):
+            raise ValueError(
+                f"SearchEngine.index() called on {self.dir} which has append "
+                "segments; re-indexing would drop appended docs from docmap/"
+                "signatures while their postings still count in the stats. "
+                "Run merge() first, or use a fresh engine_dir."
+            )
         clean = self._piece_encode_pages(dedup_latest(pages), text_col)
         ids = assign_doc_ids(clean)
         info_path = os.path.join(self.index_dir, "_build_info.json")

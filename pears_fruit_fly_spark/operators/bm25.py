@@ -65,19 +65,32 @@ _INDEX_CACHE_MAX_DIRS = 8
 
 def _index_version(index_dir: str):
     """Cache key covering the base AND every append segment: adding a
-    segment, rebuilding, or merging all change it."""
+    segment, rebuilding, merging, or deleting all change it. Keyed on each
+    build's build_id (regenerated on every build_info write) rather than
+    file mtimes, so rebuilds within filesystem timestamp granularity or from
+    another process still evict (ADVICE r2); tombstone state is keyed on the
+    delete-batch FILENAMES (each delete appends uniquely-named parquet
+    parts), which are granularity-independent too."""
+    import json
+
     from pears_fruit_fly_spark.operators.postings import (
         TOMBSTONES_DIRNAME,
         list_segments,
     )
 
     paths = [index_dir] + list_segments(index_dir)
-    version = [
-        os.path.getmtime(os.path.join(p, "_build_info.json")) for p in paths
-    ]
+    version: list = []
+    for p in paths:
+        info_path = os.path.join(p, "_build_info.json")
+        try:
+            with open(info_path) as f:
+                bid = json.load(f).get("build_id")
+        except (OSError, ValueError):
+            bid = None
+        version.append(bid if bid is not None else os.path.getmtime(info_path))
     tomb = os.path.join(index_dir, TOMBSTONES_DIRNAME)
     if os.path.isdir(tomb):
-        version.append(os.path.getmtime(tomb))
+        version.append(tuple(sorted(os.listdir(tomb))))
     return tuple(version)
 
 

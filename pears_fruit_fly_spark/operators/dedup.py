@@ -32,7 +32,6 @@ def exact_dedup(df: DataFrame, content_cols: list[str], keep_by: str) -> DataFra
     """Keep one row per identical content (md5 over concatenated cols),
     deterministic winner = min(keep_by). Two narrow aggs, one shuffle."""
     h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]))
-    w = Window.partitionBy(h.alias("_h")).orderBy(F.asc(keep_by))
     return (
         df.withColumn("_h", h)
         .withColumn("_rn", F.row_number().over(Window.partitionBy("_h").orderBy(F.asc(keep_by))))
@@ -293,6 +292,24 @@ def simhash_near_pairs(
 # n-gram Jaccard (exact, relational)
 # ---------------------------------------------------------------------------
 
+# At most ONE shingle table stays pinned: each ngram_jaccard_pairs call
+# releases the previous call's persist (mirroring how open_index pairs
+# persist() with invalidate_index_cache — ADVICE r2). Contract: materialize
+# the returned plan before the next call; call release_jaccard_cache() to
+# free executor memory eagerly.
+_JACCARD_PERSISTED: list[DataFrame] = []
+
+
+def release_jaccard_cache() -> None:
+    """Unpersist the shingle table pinned by the last ngram_jaccard_pairs
+    call (safe to call any time after its result was materialized)."""
+    while _JACCARD_PERSISTED:
+        df = _JACCARD_PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped
+            pass
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -333,7 +350,9 @@ def ngram_jaccard_pairs(
             .select("g")
         )
         grams = grams.join(keep, "g")
+    release_jaccard_cache()  # previous call's pin (bounded accumulation)
     grams = grams.persist()
+    _JACCARD_PERSISTED.append(grams)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (

@@ -798,8 +798,9 @@ def compact_postings(spark: SparkSession, index_dir: str,
     os.rename(tmp, postings_dir)
     shutil.rmtree(backup)
     # cached postings DataFrames reference the old (deleted) files; the
-    # mtime bump also evicts cross-session stale entries (ADVICE r1)
-    os.utime(os.path.join(index_dir, "_build_info.json"))
+    # build_id bump also evicts cross-session/cross-process stale entries
+    # (ADVICE r1/r2 — mtime granularity is not a reliable version)
+    mf.bump_build_id(index_dir)
     from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
 
     invalidate_index_cache(index_dir)

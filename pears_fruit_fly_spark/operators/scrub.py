@@ -19,19 +19,29 @@ from pyspark.sql import functions as F
 # RE2-safe patterns, shared verbatim with the DuckDB oracles
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
-_UTM_RE = r"utm_[a-z]+=[^&#]*&?"
+# anchored at a ?/& separator (kept via backreference) so a param whose name
+# merely CONTAINS 'utm_' (e.g. ?xutm_source=1) is never mangled; the +
+# swallows consecutive utm params in one match so single-pass replace-all
+# semantics (shared by Spark and DuckDB) leave no orphaned fragments
+_UTM_RE = r"([?&])(utm_[a-z]+=[^&#]*&?)+"
 
 
 def canonicalize_url(url: Column | str) -> Column:
-    """Canonical form: lowercase scheme+host, strip :80/:443 default ports,
-    drop #fragments and utm_* params, trim trailing '?', '&', '/'."""
+    """Canonical form: lowercase scheme+host, strip the scheme's DEFAULT port
+    only (:80 for http, :443 for https — :80 on https is a real distinct
+    endpoint), drop #fragments and utm_* params, trim trailing '?', '&', '/'.
+    """
     u = F.col(url) if isinstance(url, str) else url
     u = F.regexp_replace(u, r"#.*$", "")                  # fragment
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    host = F.regexp_replace(host, r":(80|443)$", "")      # default ports
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    rest = F.regexp_replace(rest, _UTM_RE, "")            # tracking params
+    rest = F.regexp_replace(rest, _UTM_RE, r"$1")         # tracking params
     rest = F.regexp_replace(rest, r"[?&]+$", "")          # dangling ?/&
     rest = F.regexp_replace(rest, r"\?&", "?")            # ?&x -> ?x
     rest = F.regexp_replace(rest, r"/$", "")              # trailing slash

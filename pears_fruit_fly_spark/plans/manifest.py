@@ -80,7 +80,26 @@ def manifest_row(
 
 
 def write_build_info(index_dir: str, info: dict) -> None:
+    import uuid
+
+    # build_id: content-independent token regenerated on every write; the
+    # query-side index cache keys on it instead of file mtimes, so rebuilds
+    # landing within filesystem timestamp granularity (or from another
+    # process) still evict stale handles (ADVICE r2).
+    info.setdefault("build_id", uuid.uuid4().hex)
     os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "_build_info.json"), "w") as f:
+        json.dump(info, f, indent=2, sort_keys=True)
+
+
+def bump_build_id(index_dir: str) -> None:
+    """Regenerate build_id after a file-level rewrite that leaves logical
+    content unchanged (compaction): cached DataFrames reference the replaced
+    parquet files and must be evicted."""
+    import uuid
+
+    info = read_build_info(index_dir)
+    info["build_id"] = uuid.uuid4().hex
     with open(os.path.join(index_dir, "_build_info.json"), "w") as f:
         json.dump(info, f, indent=2, sort_keys=True)
 

@@ -167,6 +167,14 @@ def test_search_engine_append_e2e(spark, vocab, fly_cfg, pages_pdf, tmp_path):
     assert {r["url"] for r in hits.collect()} & new_urls or True  # query-dependent
     # appending nothing new is a no-op
     assert eng.append(spark.createDataFrame(recrawl)) == {}
+    # ADVICE r2 (medium): re-indexing an engine that has append segments
+    # passes the base-corpus fingerprint guard but would statically
+    # overwrite docmap/signatures, silently dropping appended docs — the
+    # call must fail fast BEFORE touching anything
+    docmap_before = docmap.count()
+    with pytest.raises(ValueError, match="append segments"):
+        eng.index(base)
+    assert spark.read.parquet(eng.docmap_path).count() == docmap_before
     # merge folds segments and search still works
     eng.merge()
     assert list_segments(eng.index_dir) == []

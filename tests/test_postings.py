@@ -211,3 +211,27 @@ def test_open_index_cache_evicted_on_rebuild(spark, pages_ids, vocab, tmp_path):
           for r in bm25_topk_wand(spark, d, "t0 t3", vocab, k=5).collect()]
     assert all(doc < 100 for doc, _ in q2)
     assert q1 != q2
+
+
+def test_index_version_is_mtime_independent(spark, pages_ids, vocab, tmp_path):
+    """ADVICE r2: the cache version must change on rebuild even when the
+    filesystem timestamp does not (sub-granularity rebuild, or a rebuild by
+    another process) — keyed on build_id, not mtime."""
+    from pears_fruit_fly_spark.operators.bm25 import _index_version
+
+    d = str(tmp_path / "vidx")
+    cfg = PostingsConfig(num_partitions=4)
+    build_postings(spark, pages_ids, vocab, d, cfg=cfg)
+    v1 = _index_version(d)
+    info_path = os.path.join(d, "_build_info.json")
+    mtime = os.path.getmtime(info_path)
+    shutil.rmtree(d)
+    build_postings(spark, pages_ids, vocab, d, cfg=cfg)
+    os.utime(info_path, (mtime, mtime))  # force an identical mtime
+    v2 = _index_version(d)
+    assert v1 != v2
+    # compaction rewrites files without changing content: also a new version
+    from pears_fruit_fly_spark.operators.postings import compact_postings
+
+    compact_postings(spark, d)
+    assert _index_version(d) != v2

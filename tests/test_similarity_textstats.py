@@ -174,6 +174,16 @@ def test_url_canonicalization_edges(spark):
         ("https://h.io/p?utm_medium=z", "https://h.io/p"),
         ("no-scheme/just/path", "no-scheme/just/path"),  # passthrough
         ("HTTP://H.IO", "http://h.io"),
+        # ADVICE r2: a param NAME containing 'utm_' must not be mangled
+        ("http://h.io/p?a=1&xutm_source=2", "http://h.io/p?a=1&xutm_source=2"),
+        # ADVICE r2: non-default ports are distinct endpoints — keep them
+        ("https://h.io:80/p", "https://h.io:80/p"),
+        ("http://h.io:443/p", "http://h.io:443/p"),
+        ("ftp://h.io:80/p", "ftp://h.io:80/p"),
+        # consecutive utm params collapse in one pass; mixed order survives
+        ("http://h.io/?utm_a=1&utm_b=2&x=3", "http://h.io/?x=3"),
+        ("http://h.io/?utm_a=1&x=3&utm_b=2", "http://h.io/?x=3"),
+        ("http://h.io/?utm_a=1", "http://h.io"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i long, url string")
