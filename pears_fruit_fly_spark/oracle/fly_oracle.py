@@ -1,0 +1,123 @@
+"""Independent driver-side oracle for the fruit-fly signature build.
+
+This module re-derives the reference's featurize-and-hash semantics
+(fruit_fly/hash.py:99-140: count → (-logprob)^power weight → doc-WTA →
+random projection → KC-WTA → binarize → pack) with DELIBERATELY different
+code than the engine path (functions/fly.py + operators/signatures.py):
+
+* tokenize/count: per-doc Python dict counting (engine: pandas explode +
+  vectorized bincount)
+* winner-take-all: full descending sort to find the k-th threshold
+  (engine: np.partition selection)
+* projection: explicit per-KC index-list summation (engine: BLAS matmul)
+* packing: per-word Python bit accumulation with two's-complement fold
+  (engine: np.packbits little-endian view)
+
+Float discipline mirrors the pinned engine dtypes (float32 weights/counts/
+sums) so threshold comparisons see the same values; everything else is an
+independent re-derivation. __spark_entry__.q_fly_signatures stages this
+oracle's output to parquet and the DuckDB oracle_sql SELECTs it, closing
+the last rows-only gap in CORRECTNESS (VERDICT r2 next-round #1).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _wta_threshold(values: list[float], k: int) -> float:
+    """k-th largest via a full descending sort (independent of np.partition)."""
+    k = max(1, min(k, len(values)))
+    return sorted(values, reverse=True)[k - 1]
+
+
+def _pack_bits_int64(bits: list[int]) -> list[int]:
+    """Little-endian 64-bit words, two's-complement folded to signed int64."""
+    words = []
+    for w0 in range(0, len(bits), 64):
+        acc = 0
+        for i, b in enumerate(bits[w0 : w0 + 64]):
+            if b:
+                acc |= 1 << i
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        words.append(acc)
+    n_words = (len(bits) + 63) // 64
+    while len(words) < n_words:
+        words.append(0)
+    return words
+
+
+def fly_signature_rows(
+    docs: list[tuple[str, str]],
+    terms: list[str],
+    logprobs: np.ndarray,
+    projection: np.ndarray,
+    top_words: int,
+    wta_percent: float,
+    power: float = 3.0,
+    n_keywords: int = 10,
+) -> list[dict]:
+    """[(url, text)] -> [{url, sig_hex, keywords_csv, doclen}] rows matching
+    __spark_entry__.q_fly_signatures' projection of the engine output."""
+    t2i = {t: i for i, t in enumerate(terms)}
+    pn_size = len(terms)
+    kc_size = projection.shape[0]
+    weights = (-(np.asarray(logprobs, dtype=np.float64))) ** power
+    weights = weights.astype(np.float32)
+    # KC row -> list of active PN ids (explicit index lists, not a matmul)
+    kc_pns = [np.flatnonzero(projection[r]).tolist() for r in range(kc_size)]
+    n_kc_keep = max(1, min(int(wta_percent * kc_size / 100), kc_size))
+
+    out = []
+    for url, text in docs:
+        toks = [t for t in _TOKEN_RE.split((text or "").lower()) if t]
+        counts: dict[int, int] = {}
+        doclen = 0
+        for t in toks:
+            tid = t2i.get(t)
+            if tid is None:
+                continue
+            doclen += 1
+            counts[tid] = counts.get(tid, 0) + 1
+        # weighted counts, float32 like the engine
+        weighted = np.zeros(pn_size, dtype=np.float32)
+        for tid, c in counts.items():
+            weighted[tid] = np.float32(c) * weights[tid]
+        # doc-side WTA: keep values >= k-th largest (ties all retained,
+        # ref fruit_fly/hash.py:99-114), k = top_words absolute
+        thr = _wta_threshold(weighted.tolist(), top_words)
+        doc_wta = np.where(weighted >= np.float32(thr), weighted, np.float32(0))
+        # projection: per-KC explicit float32 summation in PN-id order
+        kc_vals = np.zeros(kc_size, dtype=np.float32)
+        for r, pns in enumerate(kc_pns):
+            acc = np.float32(0)
+            for p in pns:
+                acc = np.float32(acc + doc_wta[p])
+            kc_vals[r] = acc
+        # KC-side WTA (percent) -> binarize
+        kthr = _wta_threshold(kc_vals.tolist(), n_kc_keep)
+        bits = [
+            1 if (kc_vals[r] >= np.float32(kthr) and kc_vals[r] > 0) else 0
+            for r in range(kc_size)
+        ]
+        if n_kc_keep >= kc_size:
+            bits = [1 if kc_vals[r] > 0 else 0 for r in range(kc_size)]
+        sig = _pack_bits_int64(bits)
+        # keywords: top-n of the weighted row, (weight desc, term_id asc)
+        nz = [tid for tid in range(pn_size) if weighted[tid] > 0]
+        nz.sort(key=lambda tid: (-float(weighted[tid]), tid))
+        kw = nz[:n_keywords]
+        out.append(
+            {
+                "url": url,
+                "sig_hex": "_".join(str(int(w)) for w in sig),
+                "keywords_csv": "_".join(str(int(t)) for t in kw),
+                "doclen": int(doclen),
+            }
+        )
+    return out

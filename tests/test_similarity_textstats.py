@@ -132,7 +132,13 @@ def test_multimodal_decode_and_frames(spark):
     feats = decode_media(media).collect()
     assert len(feats) == 30
     assert all(len(r["features"]) == FEATURE_DIM for r in feats)
-    assert all(0.0 <= x <= 1.0 for r in feats for x in r["features"])
+    # real decodes carry a format tag; opaque (video) rows are hash features
+    tags = {r["kind"]: {r2["features"][0] for r2 in feats if r2["kind"] == r["kind"]}
+            for r in feats}
+    assert tags["image"] <= {1.0, 2.0} and tags["audio"] == {3.0}
+    assert tags["video"] == {0.0}
+    assert all(0.0 <= x <= 1.0 for r in feats if r["kind"] == "video"
+               for x in r["features"])
     # determinism: same payload → same features across separate runs
     feats2 = {r["media_id"]: r["features"] for r in decode_media(media.repartition(5)).collect()}
     assert all(feats2[r["media_id"]] == r["features"] for r in feats)
