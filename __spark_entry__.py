@@ -498,12 +498,26 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Stopword-vote language ID over documents."""
+    """Stopword-vote language ID over documents (4-language baseline)."""
     from pears_fruit_fly_spark.operators.textstats import lang_id
 
     return lang_id(_docs(spark, sf_dir), "doc_id", "text").withColumnsRenamed(
         {"id": "doc_id"}
     )
+
+
+def q_lang_id_multi(spark, sf_dir):
+    """Langdetect-parity language ID (VERDICT r2 #5): reference input slice
+    (title + ' ' + text[:1000], cc_process_wet.py:26-33/53 — documents has
+    no title so the slice is text[:1000]), unicode-script detection +
+    12-language Latin stopword vote. Oracle re-derives the identical
+    decision procedure in DuckDB from the same shared script classes and
+    stopword tables."""
+    from pears_fruit_fly_spark.operators.textstats import lang_id_multi
+
+    return lang_id_multi(
+        _docs(spark, sf_dir), "doc_id", "text"
+    ).withColumnsRenamed({"id": "doc_id"})
 
 
 def q_quality(spark, sf_dir):
@@ -1069,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_cosine": q_embedding_cosine,
         "q_embedding_topk": q_embedding_topk,
         "q_lang_id": q_lang_id,
+        "q_lang_id_multi": q_lang_id_multi,
         "q_quality": q_quality,
         "q_token_count": q_token_count,
         "q_repetition": q_repetition,
@@ -1095,12 +1110,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pears_fruit_fly_spark.operators.textstats import STOPWORDS
+    from pears_fruit_fly_spark.operators.textstats import (
+        KANA_CLASS,
+        SCRIPTS,
+        STOPWORDS,
+        STOPWORDS_MULTI,
+    )
 
     sw_rows = ", ".join(
         f"('{lang}', '{w}')" for lang, ws in STOPWORDS.items() for w in ws
     )
     en_sw_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+    # q_lang_id_multi oracle assembled from the SAME script classes and
+    # stopword tables the Spark operator uses (lockstep by construction)
+    swm_rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in STOPWORDS_MULTI.items() for w in ws
+    )
+    sc_counts = ", ".join(
+        f"length(regexp_replace(smp, '[^{cls[1:-1]}]', '', 'g')) AS sc_{lang}"
+        for lang, cls in SCRIPTS
+    )
+    sc_names = [f"sc_{lang}" for lang, _ in SCRIPTS]
+    sc_pick = " ".join(
+        f"WHEN sc_{lang} = mx THEN '{lang}'" for lang, _ in SCRIPTS
+    )
+    lang_multi_sql = (
+        "WITH s AS (SELECT doc_id, substr(coalesce(text, ''), 1, 1000) AS smp"
+        "  FROM documents), "
+        "m AS (SELECT doc_id, smp, "
+        "  length(regexp_replace(smp, '[^\\p{L}]', '', 'g')) AS nl, "
+        f"  length(regexp_replace(smp, '[^{KANA_CLASS[1:-1]}]', '', 'g')) AS kana, "
+        f"  {sc_counts} FROM s), "
+        "sc AS (SELECT *, greatest(" + ", ".join(sc_names) + ", kana) AS mx, "
+        "  (" + " + ".join(sc_names) + " + kana) AS tot FROM m), "
+        "pick AS (SELECT doc_id, smp, "
+        "  CASE WHEN nl > 0 AND tot * 10 >= nl * 3 THEN "
+        f"    CASE WHEN kana > 0 THEN 'ja' {sc_pick} END END AS script_lang, "
+        "  CASE WHEN nl > 0 AND tot * 10 >= nl * 3 THEN CAST(mx AS BIGINT) "
+        "  END AS script_votes FROM sc), "
+        "toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+        "  lower(smp), '[^\\p{L}0-9]+'), x -> x <> '')) AS tok "
+        "  FROM pick WHERE script_lang IS NULL), "
+        f"sw(cand_lang, tok) AS (VALUES {swm_rows}), "
+        "votes AS (SELECT doc_id, cand_lang, count(*) AS votes FROM toks "
+        "  JOIN sw USING (tok) GROUP BY 1, 2), "
+        "best AS (SELECT doc_id, cand_lang, votes FROM ("
+        "  SELECT doc_id, cand_lang, votes, row_number() OVER ("
+        "    PARTITION BY doc_id ORDER BY votes DESC, cand_lang ASC) AS rn "
+        "  FROM votes) WHERE rn = 1) "
+        "SELECT p.doc_id, coalesce(p.script_lang, b.cand_lang, 'unk') "
+        "AS pred_lang, CAST(coalesce(p.script_votes, b.votes, 0) AS BIGINT) "
+        "AS votes FROM pick p LEFT JOIN best b ON p.doc_id = b.doc_id"
+    )
 
     bm25_topk_sql = f"""
 WITH scores AS ({_SQL_BM25_SCORES}),
@@ -1302,6 +1364,7 @@ WHERE rank <= 10
             "CAST(coalesce(best.votes, 0) AS BIGINT) AS votes "
             "FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id"
         ),
+        "q_lang_id_multi": lang_multi_sql,
         "q_quality": (
             "WITH base AS (SELECT doc_id, text, length(text) AS n_chars, "
             "  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "

@@ -115,6 +115,20 @@ def main() -> None:
         lat_fp[int(0.95 * (len(lat_fp) - 1))], 4
     )
 
+    # theta-probe accountability (VERDICT r2 #9): decoded-block counts at
+    # large k with and without the seeded threshold (rank identity tested)
+    inst_off: dict = {}
+    inst_on: dict = {}
+    qtext = qset.iloc[3].query_text
+    bm25_topk_wand(spark, index_dir, qtext, vocab, k=100, n_ranges=CPUS,
+                   theta_probe=False, instrument=inst_off).collect()
+    bm25_topk_wand(spark, index_dir, qtext, vocab, k=100, n_ranges=CPUS,
+                   theta_probe=True, instrument=inst_on).collect()
+    extras["wand_k100_decoded_blocks"] = int(inst_off["decoded_blocks"].value)
+    extras["wand_k100_decoded_blocks_seeded"] = int(
+        inst_on["decoded_blocks"].value
+    )
+
     # batch serving: 40 queries in one scatter job
     from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand_batch
 
@@ -161,11 +175,70 @@ def main() -> None:
     hamming_topk(sigs, qsig, k=10).collect()
     timings["hamming_topk"] = time.time() - t0
 
+    # ---- SPM piece-encode throughput (production featurize stage when
+    # spm_tokenize=True; vectorized batch Viterbi, VERDICT r2 #4) ------------
+    from pears_fruit_fly_spark.operators.pieces import piece_encode
+
+    spm_scores = {"▁" + t: float(lp)
+                  for t, lp in zip(vocab.terms, vocab.logprobs)}
+    for ch in "t0123456789":
+        spm_scores[ch] = -12.0  # char-level fallback pieces
+    sample = spark.read.parquet(corpus_path).limit(4000)
+    n_sample = sample.count()
+    t0 = time.time()
+    piece_encode(sample, spm_scores).agg(
+        F.sum(F.length("text"))
+    ).collect()
+    timings["piece_encode"] = time.time() - t0
+    extras["piece_encode_docs_per_sec"] = round(
+        n_sample / timings["piece_encode"], 1
+    )
+
+    # ---- ANN quality accountability (VERDICT r2 #8): recall@10 of the
+    # approximate paths vs brute-force cosine over SF_DIR embeddings --------
+    from pears_fruit_fly_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        lsh_ann_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).persist()
+    qvecs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin([0, 7, 19, 42, 101])).collect()
+    }
+    cents = train_ivf_centroids(emb, n_centroids=16)
+    assigned = ivf_assign(emb, cents).persist()
+    assigned.count()
+    lsh_rec, ivf_rec = [], []
+    t_lsh = t_ivf = 0.0
+    for qv in qvecs.values():
+        want = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+        t0 = time.time()
+        got_l = {r["vec_id"] for r in lsh_ann_topk(emb, qv, k=10).collect()}
+        t_lsh += time.time() - t0
+        t0 = time.time()
+        got_i = {r["vec_id"] for r in ivf_topk(assigned, cents, qv, k=10).collect()}
+        t_ivf += time.time() - t0
+        lsh_rec.append(len(got_l & want) / 10)
+        ivf_rec.append(len(got_i & want) / 10)
+    extras["ann_lsh_recall_at10"] = round(sum(lsh_rec) / len(lsh_rec), 3)
+    extras["ann_ivf_recall_at10"] = round(sum(ivf_rec) / len(ivf_rec), 3)
+    extras["ann_lsh_sec_per_query"] = round(t_lsh / len(qvecs), 4)
+    extras["ann_ivf_sec_per_query"] = round(t_ivf / len(qvecs), 4)
+    emb.unpersist()
+    assigned.unpersist()
+
     # ---- oracle-matched relational operators over SF_DIR -------------------
     headline = [
         "q_bm25_topk", "q_token_counts", "q_doc_freq", "q_jaccard_pairs",
         "q_minhash_rankdict", "q_simhash_rankdict", "q_embedding_topk",
-        "q_lang_id", "q_quality", "q_pricing_summary", "q_top_customers",
+        "q_lang_id", "q_lang_id_multi", "q_quality", "q_pricing_summary",
+        "q_top_customers",
         "q_events_daily", "q_dedup_latest_orders",
     ]
     qmap = entrymod.queries()

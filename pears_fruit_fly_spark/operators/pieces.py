@@ -42,6 +42,9 @@ def piece_encode(
         if not tok_holder:  # once per python worker
             tok_holder.append(UnigramTokenizer(b_scores.value))
         tok = tok_holder[0]
-        return texts.fillna("").map(lambda t: " ".join(tok.encode_as_pieces(t)))
+        # vectorized batch Viterbi (NumPy DP across the Arrow batch) —
+        # parity-tested against the scalar path (VERDICT r2 #4)
+        pieces = tok.encode_batch(texts.fillna("").tolist())
+        return pd.Series([" ".join(p) for p in pieces], index=texts.index)
 
     return df.withColumn(out_col, _encode(F.col(text_col)))

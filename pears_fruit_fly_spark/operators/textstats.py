@@ -26,6 +26,52 @@ STOPWORDS: dict[str, list[str]] = {
            "que", "del", "se", "por", "con", "para", "no", "su", "al"],
 }
 
+# Extended Latin-script vote table (VERDICT r2 #5: beyond 4 languages).
+# Public top-function-word lists; diacritics intact — the multilingual
+# tokenizer splits on [^\p{L}0-9]+ so they survive.
+STOPWORDS_MULTI: dict[str, list[str]] = {
+    **STOPWORDS,
+    "it": ["il", "la", "le", "di", "che", "e", "un", "una", "per", "non",
+           "sono", "con", "del", "si", "ma", "come", "questo", "anche",
+           "della", "gli"],
+    "pt": ["o", "os", "as", "de", "que", "e", "do", "da", "em", "um", "uma",
+           "para", "com", "não", "por", "mais", "dos", "como", "mas", "foi"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die", "je",
+           "niet", "zijn", "was", "op", "aan", "met", "als", "voor", "maar",
+           "ook"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med",
+           "till", "den", "har", "de", "inte", "om", "ett", "han", "var",
+           "jag"],
+    "pl": ["i", "w", "nie", "na", "to", "się", "z", "że", "do", "jest",
+           "jak", "po", "co", "tak", "ale", "czy", "za", "od", "przez",
+           "być"],
+    "tr": ["bir", "ve", "bu", "da", "de", "için", "ile", "ne", "gibi",
+           "daha", "çok", "en", "o", "ama", "ki", "her", "kadar", "sonra",
+           "var", "yok"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "juga", "saya", "ke", "karena",
+           "ada", "mereka", "sudah", "atau"],
+    "ro": ["și", "de", "în", "la", "cu", "pe", "este", "un", "o", "care",
+           "nu", "pentru", "din", "mai", "ce", "se", "sunt", "dar", "sau",
+           "după"],
+}
+
+# Unicode-script detectors: (lang, codepoint-range character class). The
+# classes are RE2-compatible and shared VERBATIM with the DuckDB oracle.
+# 'ja' is decided by kana presence before this table applies (Japanese text
+# mixes kana with CJK ideographs; Chinese has no kana).
+SCRIPTS: list[tuple[str, str]] = [
+    ("ar", r"[\x{0600}-\x{06FF}]"),          # Arabic
+    ("el", r"[\x{0370}-\x{03FF}]"),          # Greek
+    ("he", r"[\x{0590}-\x{05FF}]"),          # Hebrew
+    ("hi", r"[\x{0900}-\x{097F}]"),          # Devanagari
+    ("ko", r"[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]"),  # Hangul
+    ("ru", r"[\x{0400}-\x{04FF}]"),          # Cyrillic
+    ("th", r"[\x{0E00}-\x{0E7F}]"),          # Thai
+    ("zh", r"[\x{4E00}-\x{9FFF}]"),          # CJK Unified Ideographs
+]
+KANA_CLASS = r"[\x{3040}-\x{30FF}]"          # Hiragana + Katakana -> ja
+
 
 def token_count(text_col: str | Column) -> Column:
     """Whitespace-ish token count (size of the alnum tokenization)."""
@@ -42,10 +88,101 @@ def bpe_ish_piece_count(text_col: str | Column) -> Column:
     return (words + punct).alias("pieces")
 
 
+def lang_id_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    title_col: str | None = None,
+    slice_chars: int = 1000,
+) -> DataFrame:
+    """(id, pred_lang, votes) — langdetect-parity language ID, dependency-
+    free and fully Column algebra (VERDICT r2 #5).
+
+    Input-slice parity with the reference: classification runs over
+    ``title + ' ' + text[:1000]`` exactly as cc_process_wet.py:26-33/53
+    feeds langdetect (title_col=None degrades to text[:slice_chars]).
+
+    Two stages, deterministic:
+    1. Unicode-script detection — per-script character counts via shared
+       RE2-safe codepoint classes (SCRIPTS/KANA_CLASS). When scripted chars
+       cover >=30% of the letters: any kana -> 'ja'; otherwise the max-count
+       script wins (ties by language code asc). votes = script char count.
+    2. Latin text — stopword vote over the 12-language STOPWORDS_MULTI
+       table with a unicode tokenizer ([^\\p{L}0-9]+ split, so diacritic
+       function words survive). Ties by code asc; no hits -> 'unk'.
+    """
+    sample_cols = [F.substring(F.coalesce(F.col(text_col), F.lit("")), 1,
+                               slice_chars)]
+    if title_col is not None:
+        sample_cols.insert(0, F.coalesce(F.col(title_col), F.lit("")))
+    sample = F.concat_ws(" ", *sample_cols)
+    base = df.select(F.col(id_col).alias("id"), sample.alias("_s"))
+
+    def count_class(cls: str) -> Column:
+        return F.length(F.regexp_replace(F.col("_s"), f"[^{cls[1:-1]}]", ""))
+
+    n_letters = F.length(F.regexp_replace(F.col("_s"), r"[^\p{L}]", ""))
+    kana = count_class(KANA_CLASS)
+    script_counts = {lang: count_class(cls) for lang, cls in SCRIPTS}
+    scripted = base.select(
+        "id", "_s",
+        n_letters.alias("_nl"), kana.alias("_kana"),
+        *[c.alias(f"_sc_{lang}") for lang, c in script_counts.items()],
+    )
+    sc_cols = [F.col(f"_sc_{lang}") for lang, _ in SCRIPTS]
+    sc_total = sum(sc_cols[1:], sc_cols[0]) + F.col("_kana")
+    sc_max = F.greatest(*sc_cols, F.col("_kana"))
+    script_pick = F.when(F.col("_kana") > 0, F.lit("ja"))
+    for lang, _ in SCRIPTS:  # asc code order = deterministic tie-break
+        script_pick = script_pick.when(
+            F.col(f"_sc_{lang}") == sc_max, F.lit(lang)
+        )
+    is_scripted = (F.col("_nl") > 0) & (sc_total * 10 >= F.col("_nl") * 3)
+    scripted = scripted.select(
+        "id", "_s",
+        F.when(is_scripted, script_pick).alias("script_lang"),
+        F.when(is_scripted, sc_max.cast("long")).alias("script_votes"),
+    )
+
+    spark = df.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS_MULTI.items() for w in ws],
+        "cand_lang string, tok string",
+    )
+    toks = scripted.filter(F.col("script_lang").isNull()).select(
+        "id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("_s")), r"[^\p{L}0-9]+"),
+                     lambda t: t != "")
+        ).alias("tok"),
+    )
+    votes = (
+        toks.join(F.broadcast(sw), "tok")
+        .groupBy("id", "cand_lang")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("cand_lang"))
+    best = votes.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    return (
+        scripted.join(best.select("id", "cand_lang", "votes"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("script_lang", "cand_lang", F.lit("unk"))
+            .alias("pred_lang"),
+            F.coalesce("script_votes", "votes", F.lit(0)).cast("long")
+            .alias("votes"),
+        )
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pred_lang, votes): language with the most stopword token hits;
     'unk' when nothing matches. Ties broken by language code asc
-    (deterministic). One explode + hash agg + ranking window."""
+    (deterministic). One explode + hash agg + ranking window.
+
+    NOTE: the 4-language ASCII-token baseline kept for back-compat;
+    lang_id_multi is the langdetect-parity operator (reference input slice,
+    script detection, 12 Latin languages)."""
     spark = df.sparkSession
     sw = spark.createDataFrame(
         [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],

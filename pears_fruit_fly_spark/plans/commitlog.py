@@ -1,0 +1,113 @@
+"""Crash-atomic artifact versioning: the Iceberg-snapshot-pointer analog.
+
+VERDICT r2 next-round #2: the r2 merge/compact/rewrite swaps were
+rename(live→backup); rename(tmp→live) — a crash between the renames left NO
+live artifact. This module replaces every such swap with a commit-pointer
+protocol that has no such window:
+
+    <root>/
+      _current          tiny text file naming the live version (atomic
+                        os.replace of a fsync'd temp file)
+      v_00000001_ab12cd34/   full artifact tree (immutable once published)
+      v_00000002_9f00aa11/   next version, built in place, invisible to
+                             readers until _current flips
+
+* ``resolve(root)``  — the directory readers should use. Roots without a
+  pointer resolve to themselves (legacy flat layout stays readable).
+* ``publish(root, version)`` — atomically flip the pointer. A reader sees
+  either the old or the new version at every instant; there is no missing-
+  artifact window at ANY crash point.
+* ``gc(root)``       — remove every child except the pointer and the live
+  version: old versions, crashed partial builds, and pre-pointer flat
+  leftovers. Run from single-writer maintenance ops only; a multi-reader
+  deployment would delay it by a grace period (Iceberg expire_snapshots).
+
+Version names embed a monotonic counter (ordering) plus a content token
+(usually a build-fingerprint hash) so an interrupted maintenance job that
+re-runs targets the SAME version directory and resumes its partial work
+instead of orphaning it.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+CURRENT_FILE = "_current"
+_VERSION_RE = re.compile(r"^v_(\d{8})(?:_[0-9a-f]+)?$")
+
+
+def current_version(root: str) -> str | None:
+    """Name of the live version, or None (legacy flat layout / fresh dir)."""
+    try:
+        with open(os.path.join(root, CURRENT_FILE)) as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    return name or None
+
+
+def resolve(root: str) -> str:
+    """Directory readers should use: root/<current> if a pointer exists,
+    else root itself (flat layout)."""
+    name = current_version(root)
+    return os.path.join(root, name) if name else root
+
+
+def version_name(root: str, token: str = "") -> str:
+    """Deterministic next version name: counter = live version's + 1 (NOT
+    max over children: a crashed later build must not bump the line), with
+    an optional content token so re-running the same job resumes the same
+    directory."""
+    cur = current_version(root)
+    n = 0
+    if cur is not None:
+        m = _VERSION_RE.match(cur)
+        n = int(m.group(1)) + 1 if m else 0
+    suffix = f"_{token}" if token else ""
+    return f"v_{n:08d}{suffix}"
+
+
+def publish(root: str, version: str) -> None:
+    """Atomically point root at version (fsync'd temp + os.replace — the
+    POSIX equivalent of an Iceberg metadata-pointer swap)."""
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, CURRENT_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(version + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, CURRENT_FILE))
+
+
+def gc(root: str) -> None:
+    """Remove everything except the pointer and the live version. No-op on
+    unversioned roots (never destroys a flat layout without a pointer)."""
+    cur = current_version(root)
+    if cur is None:
+        return
+    for child in os.listdir(root):
+        if child in (CURRENT_FILE, cur):
+            continue
+        path = os.path.join(root, child)
+        if os.path.isdir(path) and not os.path.islink(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+
+def commit_rewrite(root: str, token: str, build_fn) -> str:
+    """Full rewrite cycle: build_fn(target_dir) writes the new version,
+    publish flips the pointer, gc reclaims the old one. Returns the new
+    live directory. Crash-safe at every point: before publish the old
+    version serves; re-running targets the same directory (token)."""
+    version = version_name(root, token)
+    target = os.path.join(root, version)
+    build_fn(target)
+    publish(root, version)
+    gc(root)
+    return target

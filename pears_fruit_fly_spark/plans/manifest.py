@@ -33,7 +33,9 @@ MANIFEST_COLUMNS = [
 
 
 def manifest_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "_manifest")
+    from pears_fruit_fly_spark.plans import commitlog as cl
+
+    return os.path.join(cl.resolve(index_dir), "_manifest")
 
 
 def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
@@ -87,8 +89,11 @@ def write_build_info(index_dir: str, info: dict) -> None:
     # landing within filesystem timestamp granularity (or from another
     # process) still evict stale handles (ADVICE r2).
     info.setdefault("build_id", uuid.uuid4().hex)
-    os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, "_build_info.json"), "w") as f:
+    from pears_fruit_fly_spark.plans import commitlog as cl
+
+    live = cl.resolve(index_dir)
+    os.makedirs(live, exist_ok=True)
+    with open(os.path.join(live, "_build_info.json"), "w") as f:
         json.dump(info, f, indent=2, sort_keys=True)
 
 
@@ -98,12 +103,17 @@ def bump_build_id(index_dir: str) -> None:
     parquet files and must be evicted."""
     import uuid
 
-    info = read_build_info(index_dir)
+    from pears_fruit_fly_spark.plans import commitlog as cl
+
+    live = cl.resolve(index_dir)
+    info = read_build_info(live)
     info["build_id"] = uuid.uuid4().hex
-    with open(os.path.join(index_dir, "_build_info.json"), "w") as f:
+    with open(os.path.join(live, "_build_info.json"), "w") as f:
         json.dump(info, f, indent=2, sort_keys=True)
 
 
 def read_build_info(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "_build_info.json")) as f:
+    from pears_fruit_fly_spark.plans import commitlog as cl
+
+    with open(os.path.join(cl.resolve(index_dir), "_build_info.json")) as f:
         return json.load(f)

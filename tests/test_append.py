@@ -129,7 +129,13 @@ def test_merge_segments_preserves_results(spark, vocab, appended_index):
     }
     info = merge_segments(spark, d)
     assert list_segments(d) == []
-    assert not os.path.isdir(d + "_merging")
+    # commit-pointer protocol: after merge+gc only the pointer and the live
+    # version remain in the index root (old version + segments reclaimed)
+    from pears_fruit_fly_spark.plans import commitlog as cl
+
+    cur = cl.current_version(d)
+    assert cur is not None
+    assert set(os.listdir(d)) == {"_current", cur}
     assert info["n_docs"] == len(appended_index["all_docs"])
     for q in QUERY_TEXTS:
         got = [

@@ -293,3 +293,42 @@ def test_driver_fast_path_rank_identity(spark, corpus, vocab):
         bm25_topk_wand(spark, corpus["dir"], "zz_oov", vocab, k=5,
                        driver_fast_path_max_df=1 << 30).count() == 0
     )
+
+
+def test_theta_probe_seeding_rank_identity_and_fewer_decodes(spark, vocab,
+                                                             tmp_path):
+    """VERDICT r2 #9: seeding per-range theta from a probed range must keep
+    rank identity while decoding fewer (never more) blocks."""
+    from pears_fruit_fly_spark.config import PostingsConfig
+    from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand
+    from pears_fruit_fly_spark.operators.postings import build_postings
+
+    # heterogeneous lengths: ids < 300 are short (high BM25 impact for
+    # t1/t2) and cluster in doc-range 0 — the probe range (fewest posting
+    # rows). Its k-th score then exceeds the long docs' block-max bounds,
+    # so seeded ranges skip whole blocks without decoding.
+    docs = [(i, "t1 t2" if i < 300 else "t1 t2 " + "t3 " * 20)
+            for i in range(2000)]
+    d = str(tmp_path / "seedidx")
+    build_postings(
+        spark, spark.createDataFrame(docs, "doc_id long, text string"),
+        vocab, d,
+        cfg=PostingsConfig(num_partitions=4, block_size=64),
+    )
+    reductions = []
+    for q in ("t1 t2", "t2", "t1 t3"):
+        inst_off: dict = {}
+        off = [(r["doc_id"], r["score"]) for r in bm25_topk_wand(
+            spark, d, q, vocab, k=5, n_ranges=6, theta_probe=False,
+            instrument=inst_off).collect()]
+        n_off = inst_off["decoded_blocks"].value
+        inst_on: dict = {}
+        on = [(r["doc_id"], r["score"]) for r in bm25_topk_wand(
+            spark, d, q, vocab, k=5, n_ranges=6, theta_probe=True,
+            instrument=inst_on).collect()]
+        n_on = inst_on["decoded_blocks"].value
+        assert on == off, q
+        assert 0 < n_on <= n_off, (q, n_on, n_off)
+        reductions.append(n_off - n_on)
+    # the short-doc queries must show a REAL decode reduction
+    assert max(reductions) > 0, reductions

@@ -24,8 +24,11 @@ def _dump(spark, d):
 
 
 def _parquet_file_count(index_dir):
+    from pears_fruit_fly_spark.plans import commitlog as cl
+
+    live_postings = cl.resolve(os.path.join(cl.resolve(index_dir), "postings"))
     n = 0
-    for root, _, files in os.walk(os.path.join(index_dir, "postings")):
+    for root, _, files in os.walk(live_postings):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
 
@@ -43,17 +46,19 @@ def test_compaction_preserves_content_and_queries(
     )
     # builds now write ONE file per bucket (post-encode bucket shuffle), so
     # fragment the index artificially to exercise the small-file cleanup:
-    # rewrite each bucket as many per-row-group files via a wide repartition
-    import shutil
+    # rewrite each bucket as many files via the commit-pointer protocol
+    # (doubles as an exercise of commitlog versioning on the postings dir)
+    from pears_fruit_fly_spark.plans import commitlog as cl
+    from pears_fruit_fly_spark.plans import manifest as mf
 
-    postings_path = os.path.join(d, "postings")
-    frag = spark.read.option("basePath", postings_path).parquet(postings_path)
-    tmp = postings_path + "_frag"
-    frag.repartition(16).write.mode("overwrite").partitionBy(
-        "term_bucket"
-    ).parquet(tmp)
-    shutil.rmtree(postings_path)
-    os.rename(tmp, postings_path)
+    proot = os.path.join(cl.resolve(d), "postings")
+    frag = read_postings(spark, d)
+    cl.commit_rewrite(
+        proot, "frag",
+        lambda p: frag.repartition(16).write.mode("overwrite")
+        .partitionBy("term_bucket").parquet(p),
+    )
+    mf.bump_build_id(d)  # files replaced -> evict cached handles
     before_content = _dump(spark, d)
     before_q = [(r["doc_id"], r["score"])
                 for r in bm25_topk_wand(spark, d, "t0 t3", vocab, k=10).collect()]

@@ -218,15 +218,16 @@ def test_index_version_is_mtime_independent(spark, pages_ids, vocab, tmp_path):
     filesystem timestamp does not (sub-granularity rebuild, or a rebuild by
     another process) — keyed on build_id, not mtime."""
     from pears_fruit_fly_spark.operators.bm25 import _index_version
+    from pears_fruit_fly_spark.plans import commitlog as cl
 
     d = str(tmp_path / "vidx")
     cfg = PostingsConfig(num_partitions=4)
     build_postings(spark, pages_ids, vocab, d, cfg=cfg)
     v1 = _index_version(d)
-    info_path = os.path.join(d, "_build_info.json")
-    mtime = os.path.getmtime(info_path)
+    mtime = os.path.getmtime(os.path.join(cl.resolve(d), "_build_info.json"))
     shutil.rmtree(d)
     build_postings(spark, pages_ids, vocab, d, cfg=cfg)
+    info_path = os.path.join(cl.resolve(d), "_build_info.json")
     os.utime(info_path, (mtime, mtime))  # force an identical mtime
     v2 = _index_version(d)
     assert v1 != v2

@@ -216,3 +216,90 @@ def test_pii_scrub_edges(spark):
     assert got[1]["n_emails"] == 0 and got[1]["n_phones"] == 0
     assert got[1]["redacted"] == "no pii here"
     assert got[2]["n_phones"] == 1
+
+
+def test_lsh_ann_high_recall_on_clustered_data(spark):
+    """Where LSH is actually applicable — embeddings WITH angular cluster
+    structure — the default settings must reach >=0.9 recall@10 while
+    probing a small bucket fraction (VERDICT r2 #8). (On isotropic vectors
+    recall ~= scanned fraction for any hashing scheme; ivf_topk's default
+    covers that case, measured in bench extras.)"""
+    import numpy as np
+
+    from pears_fruit_fly_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+        lsh_bucket,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 32, 12, 150
+    centers = rng.standard_normal((n_clusters, dim)) * 3.0
+    rows = []
+    for ci in range(n_clusters):
+        pts = centers[ci] + rng.standard_normal((per, dim)) * 0.35
+        rows += [(ci * per + i, pts[i].tolist()) for i in range(per)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").persist()
+    recalls = []
+    scanned = []
+    n_total = n_clusters * per
+    for qid in (3, 155, 301, 777, 1500):
+        q = rows[qid][1]
+        want = {r["vec_id"] for r in cosine_topk(df, q, k=10).collect()}
+        got = {r["vec_id"] for r in lsh_ann_topk(df, q, k=10).collect()}
+        recalls.append(len(got & want) / 10)
+        # scanned fraction under the same default probing
+        planes = np.random.default_rng(23).standard_normal((6, dim))
+        qb = int("".join(map(str, (planes @ np.asarray(q) > 0).astype(int))), 2)
+        probe = {qb} | {qb ^ (1 << i) for i in range(6)} | {
+            qb ^ (1 << i) ^ (1 << j) for i in range(6) for j in range(i + 1, 6)
+        }
+        from pyspark.sql import functions as F
+        n_cand = df.withColumn("_b", lsh_bucket(F.col("embedding"), planes)) \
+            .filter(F.col("_b").isin(list(probe))).count()
+        scanned.append(n_cand / n_total)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    assert sum(scanned) / len(scanned) < 0.55, scanned
+    df.unpersist()
+
+
+def test_lang_id_multi_multilingual_and_slice_parity(spark):
+    """Langdetect-parity language ID (VERDICT r2 #5): script detection,
+    12-language Latin vote, and the reference's exact input slice
+    title + ' ' + text[:1000] (cc_process_wet.py:26-33/53)."""
+    from pears_fruit_fly_spark.operators.textstats import lang_id_multi
+
+    rows = [
+        (0, "Report", "The cat sat on the mat and it was happy with this."),
+        (1, "Bericht", "Der Hund ist nicht auf der Straße und ich bin hier."),
+        (2, None, "это русский текст про погоду и природу в деревне"),
+        (3, None, "これは日本語のテキストです。漢字も含まれています。"),
+        (4, None, "这是一段中文文本，包含了很多汉字内容。"),
+        (5, None, "هذا نص باللغة العربية عن الطقس والطبيعة"),
+        (6, None, "זהו טקסט בעברית על מזג האוויר והטבע"),
+        (7, None, "o gato não está em casa mas foi para a praia com os amigos"),
+        (8, None, "il gatto non è in casa ma questo è un problema per gli amici"),
+        (9, None, "kedi evde değil ama bu bir sorun değil çünkü o çok var yok"),
+        (10, None, "to nie jest problem ale się po prostu nie da tak jak jest"),
+        (11, None, ""),
+        # signal only in the TITLE -> the reference slice must catch it
+        (12, "這是標題 這是標題 這是標題 這是標題 這是標題", "123 456 789"),
+        # language signal only BEYOND char 1000 -> must be ignored
+        (13, None, "zz qq " * 200 + " der und ist nicht ein zu den" * 40),
+    ]
+    df = spark.createDataFrame(rows, "id long, title string, text string")
+    got = {
+        r["id"]: r["pred_lang"]
+        for r in lang_id_multi(df, "id", "text", title_col="title").collect()
+    }
+    want = {0: "en", 1: "de", 2: "ru", 3: "ja", 4: "zh", 5: "ar", 6: "he",
+            7: "pt", 8: "it", 9: "tr", 10: "pl", 11: "unk", 13: "unk"}
+    for i, lang in want.items():
+        assert got[i] == lang, (i, got[i], lang)
+    # doc 12: CJK signal lives in the title; text alone is all digits
+    assert got[12] == "zh"
+    got_no_title = {
+        r["id"]: r["pred_lang"]
+        for r in lang_id_multi(df, "id", "text").collect()
+    }
+    assert got_no_title[12] == "unk"  # title excluded -> no signal

@@ -200,3 +200,64 @@ def test_search_engine_spm_mode_e2e(spark, tmp_path):
     assert eng_ws.search("thequick", k=3).count() == 0
     # hamming mode also piece-encodes the query
     assert eng.search("thequick", k=3, mode="hamming").count() > 0
+
+
+def test_encode_batch_parity_random(tok):
+    """Vectorized batch Viterbi (VERDICT r2 #4) must reproduce the scalar
+    path EXACTLY — same pieces, same tie behavior — over random strings
+    including unk chars, unicode, and empties."""
+    rng = np.random.default_rng(99)
+    alphabet = list("thequickmz ✓")  # 'z'/'✓' are unk single chars
+    texts = [""]
+    texts.append("   ")
+    for _ in range(200):
+        n = int(rng.integers(0, 40))
+        texts.append("".join(rng.choice(alphabet) for _ in range(n)))
+    texts.append("the quick " * 50)  # longer than one sub-batch row
+    got = tok.encode_batch(texts)
+    want = [tok.encode_as_pieces(t) for t in texts]
+    assert got == want
+
+
+def test_encode_batch_parity_real_vocab_shape():
+    """Parity on a bigger zipf-weighted vocab with varied piece lengths
+    (the production shape)."""
+    rng = np.random.default_rng(5)
+    words = ["".join(rng.choice(list("abcdefgh"))
+                     for _ in range(int(rng.integers(1, 9))))
+             for _ in range(300)]
+    vocab: dict[str, float] = {SPACE: -2.0}
+    for i, w in enumerate(sorted(set(words))):
+        vocab[SPACE + w] = -2.0 - i * 0.01
+        vocab[w] = -3.0 - i * 0.013
+        if len(w) >= 3:
+            vocab[w[:2]] = -4.0 - i * 0.007
+    tok2 = UnigramTokenizer(vocab)
+    docs = [" ".join(rng.choice(words) for _ in range(120)) for _ in range(40)]
+    got = tok2.encode_batch(docs)
+    want = [tok2.encode_as_pieces(d) for d in docs]
+    assert got == want
+    # throughput is measured in bench.py (piece_encode docs/s extra), not
+    # here: wall-clock asserts are flaky on the shared host
+
+
+def test_encode_batch_generic_path_interior_space():
+    """A vocab with an interior-▁ piece disables the word-unit
+    factorization; the generic array Viterbi must still match the scalar
+    path exactly (cross-word pieces CAN win here)."""
+    vocab = dict(VOCAB)
+    vocab[f"the{SPACE}quick"] = -1.5  # crosses a word boundary, very likely
+    tok2 = UnigramTokenizer(vocab)
+    assert tok2._piece_tables() and tok2._interior_space
+    rng = np.random.default_rng(3)
+    texts = ["the quick", "the quick the quick", "them", "the  quick ✓", ""]
+    for _ in range(100):
+        n = int(rng.integers(0, 30))
+        texts.append("".join(rng.choice(list("thequmick "))
+                             for _ in range(n)))
+    got = tok2.encode_batch(texts)
+    want = [tok2.encode_as_pieces(t) for t in texts]
+    assert got == want
+    # the cross-boundary piece is actually exercised
+    assert [f"{SPACE}the{SPACE}quick"] != tok2.encode_as_pieces("the quick")
+    assert f"the{SPACE}quick" in tok2.encode_as_pieces("xthe quick")
