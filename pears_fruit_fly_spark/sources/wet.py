@@ -68,6 +68,36 @@ def extract_pages(df: DataFrame, html_col: str = "html") -> DataFrame:
     ).drop("_ex")
 
 
+def with_detected_lang(
+    df: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    title_col: str | None = "title",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Add/replace the lang column by running the engine's langdetect-parity
+    detector over the reference's exact input slice — title + ' ' +
+    text[:1000] (cc_process_wet.py:26-33/53 feeds exactly that to
+    langdetect). The ingest pipeline becomes:
+
+        read_wet_files → extract_pages → with_detected_lang → ingest_filter
+
+    matching the reference's read_doc_wet record shape (url, title, text,
+    lang). Dependency-free (textstats.lang_id_multi: unicode-script counts
+    + 12-language stopword vote, Column algebra + one vote aggregation)."""
+    from pears_fruit_fly_spark.operators.textstats import lang_id_multi
+
+    pred = lang_id_multi(
+        df, key_col, text_col,
+        title_col=title_col if title_col in df.columns else None,
+    ).select(F.col("id").alias(key_col), F.col("pred_lang"))
+    return (
+        df.drop(lang_col)
+        .join(pred, key_col, "left")
+        .withColumnRenamed("pred_lang", lang_col)
+    )
+
+
 def ingest_filter(
     df: DataFrame,
     lang: str | None = "en",

@@ -80,3 +80,51 @@ def test_tf_one_runs_and_255():
     assert len(blocks[0]["tfs"]) == 129
     i, t, d = decode_block(blocks[0])
     assert t[7] == 255 and (np.delete(t, 7) == 1).all()
+
+
+def test_encode_blocks_one_pass_matches_per_block_reference():
+    """The r3 one-pass vectorized encode_blocks must be BYTE-identical to
+    the straightforward per-block implementation (the resume/byte-identity
+    contract of the build depends on it)."""
+    import numpy as np
+
+    from pears_fruit_fly_spark.operators.codec import (
+        bm25_impact,
+        delta_encode,
+        encode_blocks,
+        varbyte_encode,
+    )
+
+    def reference(doc_ids, tfs, dls, avgdl, k1, b, block_size):
+        blocks = []
+        n = doc_ids.size
+        for s in range(0, n, block_size):
+            e = min(s + block_size, n)
+            ids, t, d = doc_ids[s:e], tfs[s:e], dls[s:e]
+            first, gaps = delta_encode(ids)
+            impacts = bm25_impact(t, d, avgdl, k1, b)
+            blocks.append({
+                "block_id": s // block_size, "n": int(e - s),
+                "first_doc": int(first), "last_doc": int(ids[-1]),
+                "doc_gaps": varbyte_encode(gaps),
+                "tfs": varbyte_encode(np.asarray(t, dtype=np.uint64) - 1),
+                "dls": varbyte_encode(np.asarray(d, dtype=np.uint64)),
+                "max_tf": int(t.max()), "max_impact": float(impacts.max()),
+            })
+        return blocks
+
+    rng = np.random.default_rng(17)
+    for trial, (n, bs) in enumerate([(1, 4), (5, 4), (128, 128), (129, 128),
+                                     (1000, 128), (777, 64), (4096, 128)]):
+        ids = np.cumsum(rng.integers(1, 2 ** (7 * (trial % 3) + 3), size=n)
+                        ).astype(np.int64)
+        tfs = rng.integers(1, 300, size=n).astype(np.int64)
+        dls = rng.integers(1, 100000, size=n).astype(np.int64)
+        got = encode_blocks(ids, tfs, dls, 137.5, 1.2, 0.75, bs)
+        want = reference(ids, tfs, dls, 137.5, 1.2, 0.75, bs)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g == w, (trial, g["block_id"])
+    # empty input still a valid (empty) encoding
+    z = np.zeros(0, dtype=np.int64)
+    assert encode_blocks(z, z, z, 1.0, 1.2, 0.75, 128) == []

@@ -161,3 +161,39 @@ def test_wet_parser_resyncs_on_garbage(spark, tmp_path):
     recs = list(parse_wet_records(raw))
     assert len(recs) == 1
     assert recs[0][0]["warc-target-uri"] == "http://x/1"
+
+
+def test_with_detected_lang_ingest_pipeline(spark):
+    """Reference ingest parity (cc_process_wet.py:36-54 + 26-33): extract
+    title/text from the payload, DETECT lang over title + ' ' + text[:1000],
+    then gate on it — the full read_doc_wet record shape."""
+    import datetime as dt
+
+    from pears_fruit_fly_spark.sources.wet import with_detected_lang
+
+    ts = dt.datetime(2024, 1, 1)
+
+    def payload(title, body):
+        return bytearray((title + "\n" + body).encode("utf-8"))
+
+    rows = [
+        ("u_en", ts, payload("A Title", "the cat is on the mat and it was "
+                             "there for the evening with all of this")),
+        ("u_de", ts, payload("Ein Titel", "der hund ist nicht auf der "
+                             "straße und ich bin mit dem auto gefahren")),
+        ("u_ru", ts, payload("Заголовок", "это русский текст про погоду и "
+                             "природу в деревне зимой")),
+        # language signal ONLY in the title (reference slice catches it)
+        ("u_zh", ts, payload("這是標題 這是標題 這是標題 這是標題", "12345 67890")),
+        ("u_unk", ts, payload("", "zz qq 123")),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    pages = with_detected_lang(extract_pages(df))
+    langs = {r["url"]: r["lang"] for r in pages.collect()}
+    assert langs == {"u_en": "en", "u_de": "de", "u_ru": "ru",
+                     "u_zh": "zh", "u_unk": "unk"}
+    kept = {r["url"] for r in ingest_filter(pages, lang="de", min_chars=10)
+            .collect()}
+    assert kept == {"u_de"}
