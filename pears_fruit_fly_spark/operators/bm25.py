@@ -850,26 +850,30 @@ def bm25_topk_wand_batch(
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
         rid = int(pdf["range_id"].iloc[0])
         lo, hi = rid * range_width, (rid + 1) * range_width - 1
-        # decode every block once; accumulate per-term posting arrays
-        from pears_fruit_fly_spark.operators.codec import decode_block
+        # decode ALL blocks in one vectorized pass (r3), then group the
+        # postings per term with a stable argsort — no per-row Python loop
+        from pears_fruit_fly_spark.operators.codec import decode_blocks_batch
 
-        term_ids: dict[int, list] = {}
-        term_imps: dict[int, list] = {}
-        for rec in pdf.to_dict("records"):
-            ids, tfs, dls = decode_block(rec)
-            mask = (ids >= lo) & (ids <= hi)
-            if excl is not None:
-                mask &= ~np.isin(ids, excl)
-            if not mask.any():
-                continue
-            t = int(rec["term_id"])
-            term_ids.setdefault(t, []).append(ids[mask])
-            term_imps.setdefault(t, []).append(
-                bm25_impact(tfs[mask], dls[mask], avgdl, k1, b)
-            )
+        ids, tfs_a, dls_a, rix = decode_blocks_batch(
+            pdf["n"].to_numpy(), pdf["first_doc"].to_numpy(),
+            pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+        )
+        terms_per_posting = pdf["term_id"].to_numpy()[rix]
+        mask = (ids >= lo) & (ids <= hi)
+        if excl is not None:
+            mask &= ~np.isin(ids, excl)
+        ids = ids[mask]
+        terms_per_posting = terms_per_posting[mask]
+        imp = bm25_impact(tfs_a[mask], dls_a[mask], avgdl, k1, b)
+        order = np.argsort(terms_per_posting, kind="stable")
+        t_s, ids_s, imp_s = (
+            terms_per_posting[order], ids[order], imp[order]
+        )
+        uniq_t, t_starts = np.unique(t_s, return_index=True)
+        bounds = np.concatenate([t_starts, [t_s.size]])
         decoded = {
-            t: (np.concatenate(term_ids[t]), np.concatenate(term_imps[t]))
-            for t in term_ids
+            int(t): (ids_s[a:z], imp_s[a:z])
+            for t, a, z in zip(uniq_t, bounds[:-1], bounds[1:])
         }
         out_q, out_d, out_s = [], [], []
         for qid, weights in b_qweights.value.items():

@@ -654,7 +654,7 @@ def _decoded_tokens_factory(spark: SparkSession, dirs: list[str]):
     the read side of the multi-way segment merge."""
 
     def factory() -> DataFrame:
-        from pears_fruit_fly_spark.operators.codec import decode_block
+        from pears_fruit_fly_spark.operators.codec import decode_blocks_batch
 
         frames = [read_postings(spark, d) for d in dirs]
         allp = frames[0]
@@ -662,24 +662,20 @@ def _decoded_tokens_factory(spark: SparkSession, dirs: list[str]):
             allp = allp.unionByName(f)
 
         def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # ONE vectorized decode per Arrow batch (r3; was a per-row loop)
             for pdf in batches:
                 if pdf.empty:
                     continue
-                out_doc, out_term, out_tf, out_dl = [], [], [], []
-                for rec in pdf.to_dict("records"):
-                    ids, tfs, dls = decode_block(rec)
-                    out_doc.append(ids)
-                    out_term.append(
-                        np.full(ids.size, np.int32(rec["term_id"]), dtype=np.int32)
-                    )
-                    out_tf.append(tfs.astype(np.int32))
-                    out_dl.append(dls)
+                ids, tfs, dls, rix = decode_blocks_batch(
+                    pdf["n"].to_numpy(), pdf["first_doc"].to_numpy(),
+                    pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+                )
                 yield pd.DataFrame(
                     {
-                        "doc_id": np.concatenate(out_doc),
-                        "term_id": np.concatenate(out_term),
-                        "tf": np.concatenate(out_tf),
-                        "dl": np.concatenate(out_dl),
+                        "doc_id": ids,
+                        "term_id": pdf["term_id"].to_numpy()[rix].astype(np.int32),
+                        "tf": tfs.astype(np.int32),
+                        "dl": dls,
                     }
                 )
 

@@ -128,3 +128,39 @@ def test_encode_blocks_one_pass_matches_per_block_reference():
     # empty input still a valid (empty) encoding
     z = np.zeros(0, dtype=np.int64)
     assert encode_blocks(z, z, z, 1.0, 1.2, 0.75, 128) == []
+
+
+def test_decode_blocks_batch_matches_per_block():
+    import numpy as np
+
+    from pears_fruit_fly_spark.operators.codec import (
+        decode_block,
+        decode_blocks_batch,
+        encode_blocks,
+    )
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for _ in range(30):
+        n = int(rng.integers(1, 400))
+        ids = np.cumsum(rng.integers(1, 1000, size=n)).astype(np.int64)
+        tfs = rng.integers(1, 50, size=n).astype(np.int64)
+        dls = rng.integers(1, 5000, size=n).astype(np.int64)
+        for blk in encode_blocks(ids, tfs, dls, 80.0, 1.2, 0.75, 128):
+            blk["term_id"] = len(rows) % 7
+            rows.append(blk)
+    ids_b, tfs_b, dls_b, rix = decode_blocks_batch(
+        [r["n"] for r in rows], [r["first_doc"] for r in rows],
+        [r["doc_gaps"] for r in rows], [r["tfs"] for r in rows],
+        [r["dls"] for r in rows],
+    )
+    off = 0
+    for bi, r in enumerate(rows):
+        want_ids, want_tfs, want_dls = decode_block(r)
+        n = r["n"]
+        assert (rix[off:off + n] == bi).all()
+        assert (ids_b[off:off + n] == want_ids).all()
+        assert (tfs_b[off:off + n] == want_tfs).all()
+        assert (dls_b[off:off + n] == want_dls).all()
+        off += n
+    assert off == ids_b.size
