@@ -510,22 +510,24 @@ def _build_from_tokens(
         )
         stage_s["encode"] = stage_s.get("encode", 0.0) + (time.time() - tb)
         wall_ms = (time.time() - tb) * 1000 / max(1, len(batch))
-        rows_out = {
-            int(r["term_bucket"]): int(r["cnt"])
-            for r in spark.read.parquet(postings_dir)
-            .filter(F.col("term_bucket").isin(batch))
-            .groupBy("term_bucket")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
+        # rows_out from the parquet FOOTERS (driver-side metadata reads) —
+        # replaces a full re-scan job of the just-written postings (r3)
+        import pyarrow.parquet as pq
+
+        rows_out: dict[int, int] = {}
         rows_mf = []
         for b in batch:
             out_path = os.path.join(postings_dir, f"term_bucket={b}")
-            bytes_out = sum(
-                os.path.getsize(os.path.join(out_path, f))
-                for f in os.listdir(out_path)
-                if f.endswith(".parquet")
-            ) if os.path.isdir(out_path) else 0
+            bytes_out = 0
+            if os.path.isdir(out_path):
+                for f in os.listdir(out_path):
+                    if not f.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(out_path, f)
+                    bytes_out += os.path.getsize(fp)
+                    rows_out[b] = rows_out.get(b, 0) + int(
+                        pq.read_metadata(fp).num_rows
+                    )
             rows_mf.append(
                 mf.manifest_row(
                     partition_key=b,
