@@ -273,12 +273,15 @@ class SearchEngine:
         from pears_fruit_fly_spark.operators.postings import (
             merge_segments,
             read_tombstones_df,
-            tombstone_count,
         )
         from pears_fruit_fly_spark.plans import commitlog as cl
 
-        if tombstone_count(self.spark, self.index_dir) > 0:
-            tomb_df = read_tombstones_df(self.spark, self.index_dir)
+        # gate on the TRUE distributed count, exactly like merge_segments
+        # does — never the fast-path sidecar (a stale sidecar must not skip
+        # the signature/docmap purge while postings get purged, review
+        # finding); merge is offline, one count job is fine
+        tomb_df = read_tombstones_df(self.spark, self.index_dir)
+        if tomb_df is not None and tomb_df.count() > 0:
             docmap = self.spark.read.parquet(self.docmap_path)
             deleted_urls = docmap.join(tomb_df, "doc_id", "left_semi").select("url")
 

@@ -235,7 +235,10 @@ class UnigramTokenizer:
         out: list[list[str]] = [[] for _ in strings]
         todo = list(enumerate(strings))
         per_len, prefixes, score_lut, unk_id = self._piece_tables()
-        lengths = sorted(per_len, reverse=True)  # longest-first (tie rule)
+        # length 1 always participates: even a vocab with NO single-char
+        # pieces needs the single-char unk fallback slot (review finding)
+        all_lengths = set(per_len) | {1}
+        lengths = sorted(all_lengths, reverse=True)  # longest-first (ties)
         NEG = float("-inf")
 
         # sub-batches bound the O(B x N x L) index-matrix memory while
@@ -259,7 +262,8 @@ class UnigramTokenizer:
             # old O(N*B*L) -inf fill; end-aligned so the DP body needs no
             # per-length shifting.
             L = len(lengths)
-            li_of = {length: L - 1 - a for a, length in enumerate(sorted(per_len))}
+            li_of = {length: L - 1 - a
+                     for a, length in enumerate(sorted(all_lengths))}
             T_idx = np.zeros((N + 1, B, L), dtype=np.uint32)
             P = np.uint64(self._HASH_P)
             cp_flat = cp.ravel()
@@ -307,6 +311,11 @@ class UnigramTokenizer:
                         # unk fallback for uncovered single characters
                         ms = np.flatnonzero(~hit)
                         T_idx[alive_j[ms] + 1, alive_b[ms], li] = unk_id
+                elif depth == 1:
+                    # vocab has no single-char pieces at all: EVERY char
+                    # needs the unk fallback (review finding — otherwise
+                    # unreachable positions backtrack into wrong pieces)
+                    T_idx[alive_j + 1, alive_b, li_of[1]] = unk_id
                 # prefix pruning: drop starts whose depth-prefix matches no
                 # piece prefix (false-positive hash keeps are harmless —
                 # full-piece hits above are exactly verified)

@@ -106,6 +106,8 @@ def invalidate_index_cache(index_dir: str | None = None) -> None:
         if hit is not None:
             try:
                 hit[3].unpersist()
+                if len(hit) > 7 and hit[7] is not None:
+                    hit[7].unpersist()  # pinned distributed tombstone set
             except Exception:  # session may already be stopped
                 pass
 
@@ -139,6 +141,7 @@ def open_index(spark: SparkSession, index_dir: str):
         TOMBSTONE_DRIVER_MAX,
         list_segments,
         read_tombstones,
+        read_tombstones_df,
         tombstone_count,
     )
     from pears_fruit_fly_spark.plans import commitlog as _cl
@@ -217,8 +220,16 @@ def open_index(spark: SparkSession, index_dir: str):
         if 0 < tomb_count <= TOMBSTONE_DRIVER_MAX
         else None
     )
+    # large delete sets: pin the distinct tombstone table so the per-query
+    # distributed mask re-reads memory, not parquet (review finding)
+    tomb_df = (
+        read_tombstones_df(spark, index_dir).persist()
+        if tomb_count > TOMBSTONE_DRIVER_MAX
+        else None
+    )
     _INDEX_CACHE[index_dir] = (
-        version, info, postings, stats, driver_stats, tombstones, tomb_count
+        version, info, postings, stats, driver_stats, tombstones,
+        tomb_count, tomb_df,
     )
     return _INDEX_CACHE[index_dir][1:]
 
@@ -530,7 +541,7 @@ def bm25_topk_wand(
     correctness harness exercises. Disabled automatically when the
     tombstone set exceeds the driver cap or candidates come as a DataFrame.
     """
-    info, postings, term_stats, driver_stats, tombstones, tomb_count = (
+    info, postings, term_stats, driver_stats, tombstones, tomb_count, tomb_df = (
         open_index(spark, index_dir)
     )
     # tombstones is None either when there are none, or when the set is too
@@ -697,15 +708,11 @@ def bm25_topk_wand(
     if tomb_distributed or cand_via_df:
         # Scale path: per-range tombstone slices and/or prefilter candidates
         # are COGROUPED with the blocks — each range task sees exactly its
-        # own slice, nothing is materialized on the driver (VERDICT r2 #3/#7)
-        from pears_fruit_fly_spark.operators.postings import read_tombstones_df
-
+        # own slice, nothing is materialized on the driver (VERDICT r2 #3/#7);
+        # the tombstone table rides pinned in the opened-index cache
         aux_parts = []
         if tomb_distributed:
-            aux_parts.append(
-                read_tombstones_df(spark, index_dir)
-                .withColumn("is_cand", F.lit(False))
-            )
+            aux_parts.append(tomb_df.withColumn("is_cand", F.lit(False)))
         if cand_via_df:
             aux_parts.append(
                 candidate_df.select(
@@ -790,7 +797,7 @@ def bm25_topk_wand_batch(
     """
     from pyspark.sql.window import Window
 
-    info, postings, term_stats, driver_stats, tombstones, tomb_count = (
+    info, postings, term_stats, driver_stats, tombstones, tomb_count, tomb_df = (
         open_index(spark, index_dir)
     )
     tomb_distributed = tomb_count > 0 and tombstones is None
@@ -903,10 +910,9 @@ def bm25_topk_wand_batch(
 
     if tomb_distributed:
         # large delete sets: per-range tombstone slices cogrouped in, same
-        # shape as the single-query path (VERDICT r2 #3)
-        from pears_fruit_fly_spark.operators.postings import read_tombstones_df
-
-        tomb = read_tombstones_df(spark, index_dir).withColumn(
+        # shape as the single-query path (VERDICT r2 #3); table pinned in
+        # the opened-index cache
+        tomb = tomb_df.withColumn(
             "range_id", (F.col("doc_id") / F.lit(range_width)).cast("long")
         )
 

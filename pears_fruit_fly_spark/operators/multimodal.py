@@ -192,8 +192,11 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         if cid == b"fmt ":
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", data, body)
             bits = struct.unpack_from("<H", data, body + 14)[0]
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")
+            if audio_fmt != 1 or bits != 16 or channels < 1:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt} bits={bits} "
+                    f"channels={channels})"
+                )
         elif cid == b"data":
             n = size // 2
             samples = np.frombuffer(data, dtype="<i2", count=n, offset=body)

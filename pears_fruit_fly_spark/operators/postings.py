@@ -330,7 +330,7 @@ def build_postings(
 def _live_dir_for_build(index_dir: str) -> str:
     """Concrete directory a base build writes into: the current version if
     the root is pointer-versioned, the root itself for a legacy flat build
-    being resumed, else a fresh v_00000000 published up front (a crash mid-
+    being resumed, else a fresh _v_00000000 published up front (a crash mid-
     build leaves the pointer at the partial tree and a re-run resumes it —
     identical semantics to the old flat partial build)."""
     cur = cl.current_version(index_dir)
@@ -784,6 +784,9 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     """
     if isinstance(doc_ids, DataFrame):
         df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+        if df.isEmpty():  # review finding: a no-op delete must not create
+            existing0 = read_tombstones_df(spark, index_dir)  # tombstone state
+            return 0 if existing0 is None else existing0.count()
     else:
         ids = [(int(d),) for d in doc_ids]
         if not ids:
@@ -818,11 +821,15 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     df.distinct().write.mode("append").parquet(path)
     # sidecar count ("_"-prefixed: the parquet reader ignores it) lets the
     # query path pick driver-array vs distributed masking WITHOUT a Spark
-    # job per query (VERDICT r2 #3 — bound the tombstone path)
+    # job per query (VERDICT r2 #3 — bound the tombstone path). It records
+    # the part-file set it covers so a crash between the append and this
+    # write (or any out-of-band write) is DETECTED and the count recomputed
+    # instead of trusted stale (review finding).
     import json
 
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
     with open(os.path.join(path, "_count.json"), "w") as f:
-        json.dump({"count": int(n)}, f)
+        json.dump({"count": int(n), "files": files}, f)
     from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
 
     invalidate_index_cache(index_dir)
@@ -841,7 +848,9 @@ MAX_TOMBSTONE_FRACTION = 0.5
 
 def tombstone_count(spark: SparkSession, index_dir: str) -> int:
     """Number of distinct tombstoned ids — from the sidecar count written by
-    delete_docs (no Spark job); falls back to a count query if absent."""
+    delete_docs (no Spark job) when it provably covers the CURRENT part-file
+    set; recomputed with a count query otherwise (absent, malformed, or
+    stale after a crash between the parquet append and the sidecar write)."""
     import json
 
     path = os.path.join(cl.resolve(index_dir), TOMBSTONES_DIRNAME)
@@ -849,10 +858,14 @@ def tombstone_count(spark: SparkSession, index_dir: str) -> int:
         return 0
     try:
         with open(os.path.join(path, "_count.json")) as f:
-            return int(json.load(f)["count"])
+            side = json.load(f)
+        files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if side.get("files") == files:
+            return int(side["count"])
     except (OSError, ValueError, KeyError):
-        df = read_tombstones_df(spark, index_dir)
-        return 0 if df is None else df.count()
+        pass
+    df = read_tombstones_df(spark, index_dir)
+    return 0 if df is None else df.count()
 
 
 def read_tombstones_df(spark: SparkSession, index_dir: str) -> DataFrame | None:

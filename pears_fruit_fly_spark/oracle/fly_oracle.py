@@ -9,12 +9,17 @@ code than the engine path (functions/fly.py + operators/signatures.py):
   vectorized bincount)
 * winner-take-all: full descending sort to find the k-th threshold
   (engine: np.partition selection)
-* projection: explicit per-KC index-list summation (engine: BLAS matmul)
 * packing: per-word Python bit accumulation with two's-complement fold
   (engine: np.packbits little-endian view)
 
 Float discipline mirrors the pinned engine dtypes (float32 weights/counts/
-sums) so threshold comparisons see the same values; everything else is an
+sums) so threshold comparisons see the same values. The PN→KC projection
+contraction deliberately uses the SAME float32 matmul primitive as the
+engine (one np.matmul per doc): float32 summation ORDER is implementation-
+defined in BLAS, so an independently-ordered sum could land 1 ULP on the
+other side of a WTA threshold tie and flake the hash compare across BLAS
+builds — the contraction is a deterministic primitive applied to
+independently-derived inputs, not re-derived logic. Everything else is an
 independent re-derivation. __spark_entry__.q_fly_signatures stages this
 oracle's output to parquet and the DuckDB oracle_sql SELECTs it, closing
 the last rows-only gap in CORRECTNESS (VERDICT r2 next-round #1).
@@ -69,8 +74,7 @@ def fly_signature_rows(
     kc_size = projection.shape[0]
     weights = (-(np.asarray(logprobs, dtype=np.float64))) ** power
     weights = weights.astype(np.float32)
-    # KC row -> list of active PN ids (explicit index lists, not a matmul)
-    kc_pns = [np.flatnonzero(projection[r]).tolist() for r in range(kc_size)]
+    proj_t = projection.astype(np.float32).T  # (pn, kc) for the matmul
     n_kc_keep = max(1, min(int(wta_percent * kc_size / 100), kc_size))
 
     out = []
@@ -92,13 +96,9 @@ def fly_signature_rows(
         # ref fruit_fly/hash.py:99-114), k = top_words absolute
         thr = _wta_threshold(weighted.tolist(), top_words)
         doc_wta = np.where(weighted >= np.float32(thr), weighted, np.float32(0))
-        # projection: per-KC explicit float32 summation in PN-id order
-        kc_vals = np.zeros(kc_size, dtype=np.float32)
-        for r, pns in enumerate(kc_pns):
-            acc = np.float32(0)
-            for p in pns:
-                acc = np.float32(acc + doc_wta[p])
-            kc_vals[r] = acc
+        # projection: the same float32 matmul primitive the engine uses
+        # (see module docstring — BLAS summation order must match)
+        kc_vals = doc_wta @ proj_t
         # KC-side WTA (percent) -> binarize
         kthr = _wta_threshold(kc_vals.tolist(), n_kc_keep)
         bits = [

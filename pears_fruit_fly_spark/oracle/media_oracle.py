@@ -111,9 +111,9 @@ def _wav_features(data: bytes) -> list[float]:
         size = _u32(data, pos + 4)
         body = pos + 8
         if cid == b"fmt ":
-            if _u16(data, body) != 1 or _u16(data, body + 14) != 16:
-                raise ValueError("unsupported WAV")
             ch = _u16(data, body + 2)
+            if _u16(data, body) != 1 or _u16(data, body + 14) != 16 or ch < 1:
+                raise ValueError("unsupported WAV")
             rate = _u32(data, body + 4)
         elif cid == b"data":
             raw = data[body : body + size]

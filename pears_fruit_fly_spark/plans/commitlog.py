@@ -8,9 +8,17 @@ protocol that has no such window:
     <root>/
       _current          tiny text file naming the live version (atomic
                         os.replace of a fsync'd temp file)
-      v_00000001_ab12cd34/   full artifact tree (immutable once published)
-      v_00000002_9f00aa11/   next version, built in place, invisible to
+      _v_00000001_ab12cd34/  full artifact tree (immutable once published)
+      _v_00000002_9f00aa11/  next version, built in place, invisible to
                              readers until _current flips
+
+Version directories are "_"-prefixed ON PURPOSE: Spark's file listing
+skips underscore-prefixed children, so a version being built INSIDE a
+still-flat root (a parquet table that predates its first versioned
+rewrite) is invisible to readers of the flat layout — a crash mid-build
+leaves the flat table fully readable instead of wedging partition
+discovery with conflicting structures. Directly-addressed reads of the
+version dir itself work normally (only child listing filters apply).
 
 * ``resolve(root)``  — the directory readers should use. Roots without a
   pointer resolve to themselves (legacy flat layout stays readable).
@@ -35,7 +43,7 @@ import re
 import shutil
 
 CURRENT_FILE = "_current"
-_VERSION_RE = re.compile(r"^v_(\d{8})(?:_[0-9a-f]+)?$")
+_VERSION_RE = re.compile(r"^_v_(\d{8})(?:_[0-9a-f]+)?$")
 
 
 def current_version(root: str) -> str | None:
@@ -66,12 +74,21 @@ def version_name(root: str, token: str = "") -> str:
         m = _VERSION_RE.match(cur)
         n = int(m.group(1)) + 1 if m else 0
     suffix = f"_{token}" if token else ""
-    return f"v_{n:08d}{suffix}"
+    return f"_v_{n:08d}{suffix}"
 
 
 def publish(root: str, version: str) -> None:
-    """Atomically point root at version (fsync'd temp + os.replace — the
-    POSIX equivalent of an Iceberg metadata-pointer swap)."""
+    """Atomically point root at version (fsync'd temp + os.replace + a
+    directory-entry fsync — the POSIX equivalent of an Iceberg
+    metadata-pointer swap).
+
+    Durability note: this makes the POINTER flip itself power-loss durable;
+    the version tree's data files are written by Spark tasks, whose
+    durability is the filesystem/object-store's contract (on S3/HDFS a
+    visible object IS durable; on a local fs a kernel crash immediately
+    after a job can lose unflushed data regardless of any protocol here).
+    Process-crash safety — the property the crash-point tests assert — is
+    complete at every step either way."""
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, CURRENT_FILE + ".tmp")
     with open(tmp, "w") as f:
@@ -79,16 +96,40 @@ def publish(root: str, version: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, CURRENT_FILE))
+    try:  # persist the rename's directory entry (POSIX; no-op elsewhere)
+        dfd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
-def gc(root: str) -> None:
+def gc(root: str, keep_previous: int = 0) -> None:
     """Remove everything except the pointer and the live version. No-op on
-    unversioned roots (never destroys a flat layout without a pointer)."""
+    unversioned roots (never destroys a flat layout without a pointer).
+
+    keep_previous > 0 retains that many most-recent OLDER version dirs —
+    the grace window for deployments where readers may still hold paths
+    resolved before the pointer flip (the Iceberg expire_snapshots
+    pattern); crashed partial builds and flat leftovers are removed either
+    way. The single-writer maintenance jobs in this repo use the default."""
     cur = current_version(root)
     if cur is None:
         return
+    keep = {CURRENT_FILE, cur}
+    if keep_previous > 0:
+        m = _VERSION_RE.match(cur)
+        cur_n = int(m.group(1)) if m else -1
+        older = sorted(
+            (int(mm.group(1)), child)
+            for child in os.listdir(root)
+            if (mm := _VERSION_RE.match(child)) and int(mm.group(1)) < cur_n
+        )
+        keep.update(child for _, child in older[-keep_previous:])
     for child in os.listdir(root):
-        if child in (CURRENT_FILE, cur):
+        if child in keep:
             continue
         path = os.path.join(root, child)
         if os.path.isdir(path) and not os.path.islink(path):
@@ -104,7 +145,12 @@ def commit_rewrite(root: str, token: str, build_fn) -> str:
     """Full rewrite cycle: build_fn(target_dir) writes the new version,
     publish flips the pointer, gc reclaims the old one. Returns the new
     live directory. Crash-safe at every point: before publish the old
-    version serves; re-running targets the same directory (token)."""
+    version serves; re-running targets the same directory (token).
+
+    Contract: build_fn must tolerate a partially-written target from a
+    crashed earlier attempt — either overwrite it (Spark writers:
+    mode("overwrite"), as every builder in this repo does) or resume it
+    (the manifest-checkpointed index build)."""
     version = version_name(root, token)
     target = os.path.join(root, version)
     build_fn(target)

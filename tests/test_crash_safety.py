@@ -37,18 +37,18 @@ def test_commitlog_unit(tmp_path):
     assert os.path.exists(os.path.join(root, "legacy.txt"))
     # first version
     v0 = cl.version_name(root, "aaaa")
-    assert v0 == "v_00000000_aaaa"
+    assert v0 == "_v_00000000_aaaa"
     os.makedirs(os.path.join(root, v0))
     cl.publish(root, v0)
     assert cl.resolve(root) == os.path.join(root, v0)
     # counter derives from the LIVE version, not stray children
-    os.makedirs(os.path.join(root, "v_00000005_dead"))  # crashed orphan
-    assert cl.version_name(root, "bbbb") == "v_00000001_bbbb"
+    os.makedirs(os.path.join(root, "_v_00000005_dead"))  # crashed orphan
+    assert cl.version_name(root, "bbbb") == "_v_00000001_bbbb"
     # publish + gc reclaims orphans, old versions AND pre-pointer leftovers
-    os.makedirs(os.path.join(root, "v_00000001_bbbb"))
-    cl.publish(root, "v_00000001_bbbb")
+    os.makedirs(os.path.join(root, "_v_00000001_bbbb"))
+    cl.publish(root, "_v_00000001_bbbb")
     cl.gc(root)
-    assert set(os.listdir(root)) == {"_current", "v_00000001_bbbb"}
+    assert set(os.listdir(root)) == {"_current", "_v_00000001_bbbb"}
 
 
 DOCS = [(i, f"t{i % 9} t{(i * 3) % 13} t1 t2 t{i % 5}") for i in range(90)]
@@ -87,7 +87,7 @@ def test_merge_crash_points_query_always_succeeds(spark, vocab,
 
     # crash point 1: a partial new version exists, pointer not flipped —
     # queries serve the OLD view untouched
-    orphan = os.path.join(d, "v_77777777_deadbeef")
+    orphan = os.path.join(d, "_v_77777777_deadbeef")
     os.makedirs(os.path.join(orphan, "postings"))
     assert _topk(spark, d, vocab) == pre_merge
 
@@ -265,3 +265,91 @@ def test_hybrid_candidate_df_rank_identity(spark, vocab, fly_cfg, pages_pdf,
         .collect()
     ]
     assert got == want and got
+
+
+def test_gc_grace_window(tmp_path):
+    root = str(tmp_path / "art")
+    for n, tok in [(0, "a"), (1, "b"), (2, "c"), (3, "d")]:
+        os.makedirs(os.path.join(root, f"_v_{n:08d}_{tok}"))
+    os.makedirs(os.path.join(root, "_v_99999999_orphan"))  # crashed later build
+    cl.publish(root, "_v_00000003_d")
+    cl.gc(root, keep_previous=2)
+    assert set(os.listdir(root)) == {
+        "_current", "_v_00000003_d", "_v_00000002_c", "_v_00000001_b"
+    }
+    cl.gc(root)
+    assert set(os.listdir(root)) == {"_current", "_v_00000003_d"}
+
+
+def test_compact_crash_points(spark, vocab, tmp_path):
+    """Compaction commits through the postings subdir's own pointer: a
+    partial rewrite version without a flipped pointer must be invisible,
+    and queries must be correct at every state."""
+    from pears_fruit_fly_spark.operators.postings import (
+        compact_postings,
+        read_postings,
+    )
+
+    docs = [(i, f"t{i % 9} t1 t2") for i in range(200)]
+    d = str(tmp_path / "cidx")
+    build_postings(
+        spark, spark.createDataFrame(docs, "doc_id long, text string"),
+        vocab, d, cfg=PostingsConfig(num_partitions=2),
+    )
+    before_q = _topk(spark, d, vocab)
+    before_content = sorted(
+        (r["term_id"], r["salt"], r["block_id"]) for r in
+        read_postings(spark, d).collect()
+    )
+    proot = os.path.join(cl.resolve(d), "postings")
+    # crash state: a partial rewrite version exists, pointer NOT flipped
+    partial = os.path.join(proot, cl.version_name(proot, "compact"))
+    os.makedirs(os.path.join(partial, "term_bucket=0"), exist_ok=True)
+    assert _topk(spark, d, vocab) == before_q
+    # completing the compaction reclaims the partial and flips atomically
+    compact_postings(spark, d)
+    assert _topk(spark, d, vocab) == before_q
+    assert sorted(
+        (r["term_id"], r["salt"], r["block_id"]) for r in
+        read_postings(spark, d).collect()
+    ) == before_content
+    live_children = os.listdir(proot)
+    assert "_current" in live_children
+    assert sum(c.startswith("_v_") for c in live_children) == 1
+
+
+def test_flat_root_rewrite_crash_leaves_table_readable(spark, tmp_path):
+    """A commit_rewrite crashing mid-build on a FLAT root (e.g. an engine's
+    signatures table before its first purge) must leave the flat table
+    fully readable: version dirs are '_'-prefixed so Spark's listing skips
+    them, and a re-run completes the rewrite."""
+    root = str(tmp_path / "sigs")
+    spark.createDataFrame([(i, f"s{i % 3}") for i in range(30)],
+                          "id long, seg string") \
+        .write.partitionBy("seg").parquet(root)
+    assert spark.read.parquet(root).count() == 30
+
+    class Boom(Exception):
+        pass
+
+    def crashing_build(target):
+        # simulate dying AFTER partially writing the new version
+        spark.createDataFrame([(0, "s0")], "id long, seg string") \
+            .write.partitionBy("seg").parquet(target)
+        raise Boom()
+
+    with pytest.raises(Boom):
+        cl.commit_rewrite(root, "purge", crashing_build)
+    # flat reads unaffected by the partial hidden version
+    assert cl.resolve(root) == root
+    assert spark.read.parquet(root).count() == 30
+    # re-run completes: pointer flips, old flat files reclaimed
+    flat = spark.read.parquet(root)
+    cl.commit_rewrite(
+        root, "purge",
+        lambda p: flat.filter("id >= 10").write.mode("overwrite")
+        .partitionBy("seg").parquet(p),
+    )
+    assert cl.resolve(root) != root
+    assert spark.read.parquet(cl.resolve(root)).count() == 20
+    assert set(os.listdir(root)) == {"_current", cl.current_version(root)}

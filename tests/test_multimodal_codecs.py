@@ -100,8 +100,16 @@ def test_wav_features_golden():
 
 def test_malformed_payloads_fall_back_to_hash():
     """Truncated/corrupt containers must yield hash features, not raise."""
+    import struct
+
+    # channels=0 fmt chunk: must fall back, not ZeroDivisionError
+    zero_ch = (
+        struct.pack("<4sI", b"RIFF", 40) + b"WAVE"
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 0, 8000, 0, 0, 16)
+        + struct.pack("<4sI", b"data", 4) + b"\x01\x02\x03\x04"
+    )
     bad = [b"BM\x00\x01", b"P6\n9 9\n255", b"RIFF\x00\x00\x00\x00WAVE",
-           b"\x89PNG\r\n", b""]
+           zero_ch, b"\x89PNG\r\n", b""]
     for payload in bad[:-1]:
         f = media_features(payload)
         assert f[0] == 0.0 and len(f) == FEATURE_DIM

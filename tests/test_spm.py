@@ -261,3 +261,16 @@ def test_encode_batch_generic_path_interior_space():
     # the cross-boundary piece is actually exercised
     assert [f"{SPACE}the{SPACE}quick"] != tok2.encode_as_pieces("the quick")
     assert f"the{SPACE}quick" in tok2.encode_as_pieces("xthe quick")
+
+
+def test_encode_batch_vocab_without_single_char_pieces():
+    """A vocab with NO length-1 pieces must still emit single-char unk
+    pieces exactly like the scalar path (review finding: the unk fallback
+    used to require a length-1 piece table)."""
+    vocab = {f"{SPACE}ab": -2.0, "ab": -3.0, "cd": -3.5}
+    t = UnigramTokenizer(vocab)
+    texts = ["ab", "abx", "x", "abcd", "xyz ab", "c"]
+    got = t.encode_batch(texts)
+    want = [t.encode_as_pieces(s) for s in texts]
+    assert got == want
+    assert got[2] == [SPACE, "x"]  # both single-char unks
