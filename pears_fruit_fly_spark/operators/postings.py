@@ -454,6 +454,14 @@ def _build_from_tokens(
     # bucket-per-job loop is pure scheduler overhead). Manifest rows stay
     # per-bucket, so resume granularity is the bucket; a batch that dies
     # mid-write is simply redone (dynamic partition overwrite = idempotent).
+    #
+    # Arrow batch size: the session default (512, tuned for ~3KB-text rows
+    # in the signature featurize) is far too small for the tiny token rows
+    # flowing into the encoder — measured ~30% extra Arrow-boundary cost at
+    # 29M rows. Raise it for the encode actions, restore after.
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    arrow_prev = spark.conf.get(arrow_key, None)
+    spark.conf.set(arrow_key, "20000")
     encode = _encoder(avgdl, BM25Config(info["k1"], info["b"]), info["block_size"])
     staged = spark.read.schema(STAGED_TOKENS_SCHEMA).parquet(staging)
     term_stats_df = spark.read.parquet(stats_path)
@@ -473,6 +481,31 @@ def _build_from_tokens(
     parallelism = spark.sparkContext.defaultParallelism
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        _encode_pending(
+            spark, pending, batch_size, bucket_rows, staged, salt_plan,
+            encode, parallelism, P, postings_dir, index_dir, stage_s,
+        )
+    finally:
+        if arrow_prev is not None:
+            spark.conf.set(arrow_key, arrow_prev)
+        else:
+            spark.conf.unset(arrow_key)
+    stage_s["encode"] = stage_s.get("encode", 0.0)
+    info["build_wall_s"] = time.time() - t0
+    info["stage_seconds"] = {k: round(v, 3) for k, v in stage_s.items()}
+    # a rebuild under a previously-opened path must not serve stale handles
+    from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
+
+    invalidate_index_cache(index_dir)
+    return info
+
+
+def _encode_pending(
+    spark, pending, batch_size, bucket_rows, staged, salt_plan, encode,
+    parallelism, P, postings_dir, index_dir, stage_s,
+) -> None:
+    """Stage-3 body: encode pending buckets in resumable batches."""
     for start in range(0, len(pending), batch_size):
         batch = pending[start : start + batch_size]
         tb = time.time()
@@ -539,14 +572,6 @@ def _build_from_tokens(
                 )
             )
         mf.append_manifest_rows(spark, index_dir, rows_mf)
-    stage_s["encode"] = stage_s.get("encode", 0.0)
-    info["build_wall_s"] = time.time() - t0
-    info["stage_seconds"] = {k: round(v, 3) for k, v in stage_s.items()}
-    # a rebuild under a previously-opened path must not serve stale handles
-    from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
-
-    invalidate_index_cache(index_dir)
-    return info
 
 
 SEGMENTS_DIRNAME = "segments"
