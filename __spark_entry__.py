@@ -421,6 +421,25 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the exact-Jaccard
+    pair set (iterative min-label propagation, pure DataFrame joins — the
+    stage that turns pairwise dedup output into a keep-one-per-cluster
+    decision). Oracle: DuckDB recursive transitive closure over the SAME
+    pair CTE, min reachable id per node."""
+    from pears_fruit_fly_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1,
+                                max_ngram_df=100)
+    return duplicate_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 def q_minhash_rankdict(spark, sf_dir):
     """MinHash signatures (8 hashes) over the alphabetic-rank dictionary —
     the SQL-oracle-matched variant of operators.dedup.minhash_signatures."""
@@ -552,6 +571,25 @@ def q_repetition(spark, sf_dir):
         "top_bigram_share",
     )
 
+
+# exact-Jaccard pair CTE chain shared by q_jaccard_pairs and the recursive
+# clustering oracle (q_dup_clusters): trigram shingles, absolute df cap 100
+# (identical to max_ngram_df=100 on the Spark side), jac.j UNROUNDED
+_SQL_JACCARD_CTE = (
+    "g0 AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "  range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g "
+    "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "  '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents "
+    "  WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) >= 3)), "
+    "keep AS (SELECT g FROM (SELECT g, count(*) AS gdf FROM g0 GROUP BY 1) "
+    "  WHERE gdf <= 100), "
+    "g AS (SELECT doc_id, g0.g FROM g0 JOIN keep USING (g)), "
+    "sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+    "  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2), "
+    "jac AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j "
+    "  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)"
+)
 
 # messy-URL template shared by the Spark query and the DuckDB oracle:
 # mixed-case scheme/host, default port, utm_* params, fragment
@@ -1077,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dup_groups": q_exact_dup_groups,
         "q_bigram_counts": q_bigram_counts,
         "q_jaccard_pairs": q_jaccard_pairs,
+        "q_dup_clusters": q_dup_clusters,
         "q_minhash_rankdict": q_minhash_rankdict,
         "q_simhash_rankdict": q_simhash_rankdict,
         "q_fingerprint": q_fingerprint,
@@ -1279,22 +1318,19 @@ WHERE rank <= 10
             "SELECT bigram, count(*) AS cnt FROM g GROUP BY 1"
         ),
         "q_jaccard_pairs": (
-            "WITH g0 AS (SELECT doc_id, unnest(list_distinct(list_transform("
-            "  range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g "
-            "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
-            "  '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents "
-            "  WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) >= 3)), "
-            # df-cap skew guard, identical to max_ngram_df=100 on the Spark side
-            "keep AS (SELECT g FROM (SELECT g, count(*) AS gdf FROM g0 GROUP BY 1) "
-            "  WHERE gdf <= 100), "
-            "g AS (SELECT doc_id, g0.g FROM g0 JOIN keep USING (g)), "
-            "sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1), "
-            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
-            "  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2) "
-            "SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) "
-            "AS jaccard FROM inter "
-            "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
-            "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1"
+            f"WITH {_SQL_JACCARD_CTE} "
+            "SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.1"
+        ),
+        # near-dup clustering: the SAME pair set, components re-derived in
+        # DuckDB via a recursive transitive closure (min label per id)
+        "q_dup_clusters": (
+            f"WITH RECURSIVE {_SQL_JACCARD_CTE}, "
+            "pr AS (SELECT id_a, id_b FROM jac WHERE j >= 0.1), "
+            "edges AS (SELECT id_a AS s, id_b AS d FROM pr "
+            "  UNION SELECT id_b, id_a FROM pr), "
+            "reach(id, lab) AS (SELECT s, s FROM edges "
+            "  UNION SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.id) "
+            "SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id"
         ),
         "q_minhash_rankdict": (
             f"WITH toks AS ({_SQL_TOKS}), "

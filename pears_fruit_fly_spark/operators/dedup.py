@@ -440,6 +440,100 @@ def embedding_cosine_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (pairs -> components -> canonical survivor)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: (id, cluster_id)
+    where cluster_id = the smallest member id of the component — the stage
+    that turns pairwise similarity output (MinHash-LSH / SimHash / Jaccard)
+    into an actual dedup DECISION (keep one per cluster).
+
+    Iterative min-label propagation, pure DataFrame ops: each round every
+    node takes min(own label, neighbours' labels); stop when a round
+    changes nothing (checked with one count per round). Near-dup components
+    have tiny diameters (dup rings/chains), so this converges in 2-4
+    rounds; max_iter bounds pathological chains. Each round is one
+    join + one aggregation on well-spread keys — the standard large-scale
+    CC shape (no driver-side graph).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        # localCheckpoint (eager) TRUNCATES the logical plan each round —
+        # without it the self-referencing join lineage grows exponentially
+        # and even Catalyst's plan stringification OOMs after ~10 rounds
+        # (the classic iterative-DataFrame trap). The label table is one
+        # row per PAIRED doc (small), so the per-round pinned blocks are
+        # cheap and bounded by max_iter.
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(neigh, labels.id == neigh.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("nbr_min", F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("id", "cluster_id")
+    finally:
+        edges.unpersist()
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup dedup DECISION: drop every document that belongs to a dup
+    cluster and is not its canonical (minimum-id) member. Documents in no
+    pair survive untouched. One CC pass + one anti-join."""
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 

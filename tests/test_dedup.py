@@ -166,3 +166,44 @@ def test_ngram_contamination(spark):
     assert got[3] == (0, False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_clusters_and_keep_canonical(spark):
+    """Connected components over dup pairs: chains merge into one cluster
+    labelled by the minimum member id; keep-canonical drops every
+    non-minimum member and leaves unpaired docs alone."""
+    from pears_fruit_fly_spark.operators.dedup import (
+        dedup_keep_canonical,
+        duplicate_clusters,
+    )
+
+    # components: {1,2,3,4} (a chain), {10,11}, {20,21,22} (a triangle)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"]
+            for r in dedup_keep_canonical(docs, pairs, "doc_id").collect()}
+    assert kept == {1, 10, 20, 99}  # canonical members + the unpaired doc
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A longer chain needs several propagation rounds; the loop must run
+    to the fixpoint, not stop after one round."""
+    from pears_fruit_fly_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 40)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in duplicate_clusters(chain).collect()}
+    assert set(got.values()) == {30}
+    assert len(got) == 11
