@@ -241,13 +241,23 @@ class UnigramTokenizer:
         lengths = sorted(all_lengths, reverse=True)  # longest-first (ties)
         NEG = float("-inf")
 
-        # sub-batches bound the O(B x N x L) index-matrix memory while
-        # amortizing the per-position DP overhead across many strings (word
-        # units are short, so thousands ride one sub-batch)
-        max_n = max(len(s) for _, s in todo)
-        SUB = max(64, min(16384, 2_000_000 // max(1, max_n)))
-        for s0 in range(0, len(todo), SUB):
-            chunk = todo[s0 : s0 + SUB]
+        # Sub-batches bound the O(B x N x L) index-matrix memory while
+        # amortizing the per-position DP overhead across many strings.
+        # Length-sort first so every chunk pads only to ITS members' max
+        # length: one megabyte-long unbroken token (minified JS, base64)
+        # then rides a B=1 chunk instead of inflating a 64-wide chunk to
+        # (1e6+1, 64, L) arrays and OOMing the Python worker (review
+        # finding). out[] is keyed by original index, so order is free.
+        todo.sort(key=lambda t: len(t[1]))
+        CELLS = 2_000_000  # B x N budget for the index matrix
+        s0 = 0
+        while s0 < len(todo):
+            B = min(16384, len(todo) - s0)
+            # ascending lengths: the chunk's pad width is its LAST member's
+            while B > 1 and len(todo[s0 + B - 1][1]) * B > CELLS:
+                B = max(1, min(B - 1, CELLS // len(todo[s0 + B - 1][1])))
+            chunk = todo[s0 : s0 + B]
+            s0 += B
             B = len(chunk)
             lens = np.asarray([len(s) for _, s in chunk], dtype=np.int64)
             N = int(lens.max())

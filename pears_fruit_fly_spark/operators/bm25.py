@@ -216,7 +216,7 @@ def open_index(spark: SparkSession, index_dir: str):
         }
     tomb_count = tombstone_count(spark, index_dir)
     tombstones = (
-        read_tombstones(spark, index_dir)
+        read_tombstones(spark, index_dir, known_count=tomb_count)
         if 0 < tomb_count <= TOMBSTONE_DRIVER_MAX
         else None
     )

@@ -455,13 +455,17 @@ def duplicate_clusters(
     that turns pairwise similarity output (MinHash-LSH / SimHash / Jaccard)
     into an actual dedup DECISION (keep one per cluster).
 
-    Iterative min-label propagation, pure DataFrame ops: each round every
-    node takes min(own label, neighbours' labels); stop when a round
-    changes nothing (checked with one count per round). Near-dup components
-    have tiny diameters (dup rings/chains), so this converges in 2-4
-    rounds; max_iter bounds pathological chains. Each round is one
-    join + one aggregation on well-spread keys — the standard large-scale
-    CC shape (no driver-side graph).
+    Iterative min-label propagation WITH pointer jumping, pure DataFrame
+    ops: each round every node takes min(own label, neighbours' labels),
+    then follows its label's label (path halving) — so convergence needs
+    O(log diameter) rounds, not O(diameter); max_iter=20 therefore covers
+    components of diameter ~2^20. Stop when a round changes nothing
+    (checked with one limit(1) count per round). If max_iter is somehow
+    exhausted before convergence this RAISES rather than silently
+    returning labels that split one true cluster into several "canonical"
+    survivors (review finding). Each round is two joins + one aggregation
+    on well-spread keys — the standard large-scale CC shape (no
+    driver-side graph).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -490,13 +494,27 @@ def duplicate_clusters(
                 .groupBy("src")
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
+            propagated = labels.join(neigh, labels.id == neigh.src, "left").select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            # pointer jumping: labels are always node ids, so each node can
+            # follow its label's own label (min is monotone — admissible)
+            parent = propagated.select(
+                F.col("id").alias("p_id"), F.col("cluster_id").alias("p_label")
+            )
             new_labels = (
-                labels.join(neigh, labels.id == neigh.src, "left")
+                propagated.join(
+                    parent, propagated.cluster_id == parent.p_id, "left"
+                )
                 .select(
                     "id",
                     F.least(
                         F.col("cluster_id"),
-                        F.coalesce("nbr_min", F.col("cluster_id")),
+                        F.coalesce("p_label", F.col("cluster_id")),
                     ).alias("cluster_id"),
                 )
                 .localCheckpoint(eager=True)
@@ -511,6 +529,11 @@ def duplicate_clusters(
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            raise RuntimeError(
+                f"duplicate_clusters did not converge in {max_iter} rounds "
+                f"(component diameter > ~2^{max_iter}); raise max_iter"
+            )
         return labels.select("id", "cluster_id")
     finally:
         edges.unpersist()

@@ -460,8 +460,6 @@ def _build_from_tokens(
     # flowing into the encoder — measured ~30% extra Arrow-boundary cost at
     # 29M rows. Raise it for the encode actions, restore after.
     arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    arrow_prev = spark.conf.get(arrow_key, None)
-    spark.conf.set(arrow_key, "20000")
     encode = _encoder(avgdl, BM25Config(info["k1"], info["b"]), info["block_size"])
     staged = spark.read.schema(STAGED_TOKENS_SCHEMA).parquet(staging)
     term_stats_df = spark.read.parquet(stats_path)
@@ -480,6 +478,11 @@ def _build_from_tokens(
     batch_size = cfg.bucket_batch_size or len(pending) or 1
     parallelism = spark.sparkContext.defaultParallelism
 
+    # set the override immediately before the try so a failure in the
+    # preceding stats/salt-plan jobs can't leak a 40x batch size into the
+    # rest of the session (review finding)
+    arrow_prev = spark.conf.get(arrow_key, None)
+    spark.conf.set(arrow_key, "20000")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         _encode_pending(
@@ -494,10 +497,10 @@ def _build_from_tokens(
     stage_s["encode"] = stage_s.get("encode", 0.0)
     info["build_wall_s"] = time.time() - t0
     info["stage_seconds"] = {k: round(v, 3) for k, v in stage_s.items()}
-    # a rebuild under a previously-opened path must not serve stale handles
-    from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
-
-    invalidate_index_cache(index_dir)
+    # cache eviction is the WRAPPERS' job: _build_from_tokens only ever
+    # receives version/segment dirs, which are never _INDEX_CACHE keys
+    # (those are the roots callers open) — build_postings / append_postings
+    # / merge_segments each invalidate their root after committing
     return info
 
 
@@ -907,17 +910,22 @@ def read_tombstones_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
 
 
 def read_tombstones(spark: SparkSession, index_dir: str,
-                    max_driver: int | None = TOMBSTONE_DRIVER_MAX):
+                    max_driver: int | None = TOMBSTONE_DRIVER_MAX,
+                    known_count: int | None = None):
     """Sorted int64 array of tombstoned doc ids, or None if there are none.
 
     The driver array is BOUNDED (VERDICT r2 #3): sets larger than
     max_driver raise — callers that can handle any volume must gate on
     tombstone_count() and use read_tombstones_df() + a distributed mask
-    (open_index/bm25 do exactly that)."""
+    (open_index/bm25 do exactly that). A caller that already ran
+    tombstone_count passes it as known_count so the cap check does not
+    re-run the count jobs (review finding: open_index counted twice)."""
     path = os.path.join(cl.resolve(index_dir), TOMBSTONES_DIRNAME)
     if not os.path.isdir(path):
         return None
-    if max_driver is not None and tombstone_count(spark, index_dir) > max_driver:
+    count = (known_count if known_count is not None
+             else tombstone_count(spark, index_dir))
+    if max_driver is not None and count > max_driver:
         raise ValueError(
             f"tombstone set exceeds the {max_driver}-id driver cap; use "
             "read_tombstones_df (distributed) or merge_segments to purge"

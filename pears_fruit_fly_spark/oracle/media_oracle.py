@@ -79,13 +79,21 @@ def _bmp_features(data: bytes) -> list[float]:
 def _ppm_features(data: bytes) -> list[float]:
     pos, fields = 2, []
     while len(fields) < 3:
-        while data[pos : pos + 1].isspace():
+        # every scan is bounds-checked: a truncated header must raise (and
+        # fall back to hash features) — b''.isspace() is False, so an
+        # unguarded token scan spins forever past the end (review finding;
+        # the engine's decode_ppm guards identically)
+        while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(data):
+            raise ValueError("truncated PPM header")
         if data[pos : pos + 1] == b"#":
             raise ValueError("comments unsupported")
         start = pos
-        while not data[pos : pos + 1].isspace():
+        while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(data):
+            raise ValueError("truncated PPM header")
         fields.append(int(data[start:pos]))
     pos += 1
     w, h, maxval = fields

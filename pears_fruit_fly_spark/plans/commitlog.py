@@ -43,7 +43,13 @@ import re
 import shutil
 
 CURRENT_FILE = "_current"
-_VERSION_RE = re.compile(r"^_v_(\d{8})(?:_[0-9a-f]+)?$")
+# The token suffix is arbitrary caller-chosen text ('purge', 'compact', a
+# build-fingerprint hash, ...) — the pattern must accept ALL of them, not
+# just lowercase hex: a token the regex rejects made version_name() restart
+# the counter at 0 and return the CURRENT live version's own name, so the
+# next commit_rewrite overwrote the directory it was reading (review
+# finding — live table destroyed on the second 'purge' merge).
+_VERSION_RE = re.compile(r"^_v_(\d{8})(?:_.+)?$")
 
 
 def current_version(root: str) -> str | None:
@@ -152,6 +158,13 @@ def commit_rewrite(root: str, token: str, build_fn) -> str:
     mode("overwrite"), as every builder in this repo does) or resume it
     (the manifest-checkpointed index build)."""
     version = version_name(root, token)
+    if version == current_version(root):
+        # belt-and-braces: never build into the live version in place —
+        # mode("overwrite") would truncate the only copy mid-read
+        raise RuntimeError(
+            f"commit_rewrite would target the LIVE version {version!r} of "
+            f"{root} — version counter failed to advance"
+        )
     target = os.path.join(root, version)
     build_fn(target)
     publish(root, version)

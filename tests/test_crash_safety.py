@@ -51,6 +51,33 @@ def test_commitlog_unit(tmp_path):
     assert set(os.listdir(root)) == {"_current", "_v_00000001_bbbb"}
 
 
+def test_repeated_token_rewrites_advance_versions(tmp_path):
+    """Regression (review finding): non-hex tokens like 'purge'/'compact'
+    failed the version regex, so the SECOND rewrite with the same token
+    computed the SAME version name as the live one and mode('overwrite')
+    truncated the directory it was reading — the live table was destroyed.
+    Every rewrite must land in a fresh version, at any token."""
+    root = str(tmp_path / "tbl")
+
+    def writer(content):
+        def build(target):
+            os.makedirs(target, exist_ok=True)
+            with open(os.path.join(target, "data.txt"), "w") as f:
+                f.write(content)
+        return build
+
+    t1 = cl.commit_rewrite(root, "purge", writer("v1"))
+    t2 = cl.commit_rewrite(root, "purge", writer("v2"))
+    assert t1 != t2, "second 'purge' rewrite reused the live version dir"
+    assert open(os.path.join(cl.resolve(root), "data.txt")).read() == "v2"
+    # counter advanced (monotonic line), old version GC'd
+    assert cl.current_version(root) == "_v_00000001_purge"
+    t3 = cl.commit_rewrite(root, "compact", writer("v3"))
+    assert cl.current_version(root) == "_v_00000002_compact"
+    assert open(os.path.join(t3, "data.txt")).read() == "v3"
+    assert set(os.listdir(root)) == {"_current", "_v_00000002_compact"}
+
+
 DOCS = [(i, f"t{i % 9} t{(i * 3) % 13} t1 t2 t{i % 5}") for i in range(90)]
 NEW_DOCS = [(90 + i, f"t{i % 7} t1 t6") for i in range(30)]
 

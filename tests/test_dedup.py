@@ -196,14 +196,16 @@ def test_duplicate_clusters_and_keep_canonical(spark):
 
 
 def test_duplicate_clusters_long_chain_converges(spark):
-    """A longer chain needs several propagation rounds; the loop must run
-    to the fixpoint, not stop after one round."""
+    """A chain of diameter 60 — beyond any plausible propagation-only
+    round budget (the old code silently returned split clusters past 20
+    rounds — review finding). Pointer jumping must reach the fixpoint in
+    O(log diameter) rounds and return ONE cluster."""
     from pears_fruit_fly_spark.operators.dedup import duplicate_clusters
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(30, 40)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(30, 90)], "id_a long, id_b long"
     )
     got = {r["id"]: r["cluster_id"]
            for r in duplicate_clusters(chain).collect()}
     assert set(got.values()) == {30}
-    assert len(got) == 11
+    assert len(got) == 61

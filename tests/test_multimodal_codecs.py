@@ -128,6 +128,10 @@ def test_engine_vs_independent_oracle_parity():
         s = rng.integers(-32768, 32768, size=(777, ch)).astype(np.int16)
         payloads.append(encode_wav(s, 44100))
     payloads.append(bytes(rng.integers(0, 256, size=500, dtype=np.uint8)))
+    # truncated PPM headers: the oracle's token scan must terminate (it
+    # used to spin past the end of the buffer — review finding) and agree
+    # with the engine's hash fallback
+    payloads += [b"P6\n12", b"P6", b"P6 3 4", b"P6\n9 9\n255"]
     for p in payloads:
         engine = [float(x) for x in media_features(p)]
         oracle = media_features_oracle(p)

@@ -219,6 +219,18 @@ def test_encode_batch_parity_random(tok):
     assert got == want
 
 
+def test_encode_batch_one_huge_unbroken_token(tok):
+    """A single 60k-char whitespace-free token (minified-JS/base64 shape)
+    must ride its own small sub-batch — length-sorted chunking keeps the
+    (N+1, B, L) index matrix bounded instead of padding a 64-wide chunk to
+    the monster's length (review finding) — and still match the scalar
+    path alongside ordinary short docs."""
+    texts = ["the quick", "q" * 60_000, "he zz", ""]
+    got = tok.encode_batch(texts)
+    want = [tok.encode_as_pieces(t) for t in texts]
+    assert got == want
+
+
 def test_encode_batch_parity_real_vocab_shape():
     """Parity on a bigger zipf-weighted vocab with varied piece lengths
     (the production shape)."""
