@@ -347,6 +347,90 @@ def q_bm25_append(spark, sf_dir):
     )
 
 
+PHRASE_QUERY = ("table", "hash")   # frozen exact-phrase query
+BOOL_QUERY = "+join -window hash"  # frozen boolean query string
+
+
+def _build_query_index(spark, sf_dir, prefix, store_positions=False):
+    """Shared q_* helper: all-corpus-term vocab + compressed index build."""
+    import numpy as np
+
+    from pears_fruit_fly_spark.config import PostingsConfig
+    from pears_fruit_fly_spark.functions.vocab import Vocab
+    from pears_fruit_fly_spark.operators.postings import build_postings
+
+    docs = _docs(spark, sf_dir)
+    terms = [r["term"] for r in _term_ranks(spark, sf_dir).orderBy("rid").collect()]
+    vocab = Vocab(terms=terms, logprobs=np.full(len(terms), -1.0))
+    pages = docs.select(
+        "doc_id", F.array_join(tokens_array("text"), " ").alias("text")
+    )
+    index_dir = tempfile.mkdtemp(prefix=prefix) + "/idx"
+    build_postings(
+        spark, pages, vocab, index_dir,
+        cfg=PostingsConfig(num_partitions=8, skew_df_threshold=1 << 30,
+                           store_positions=store_positions),
+    )
+    return index_dir, vocab
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase search over the POSITIONAL index (store_positions=True —
+    the Lucene .pos analog; operators/phrase.py): token positions are
+    delta+varbyte encoded per posting at tokenize time; phrase matching is
+    the pure-relational groupBy(doc, pos - offset) HAVING all offsets
+    covered; scoring treats the phrase as a pseudo-term
+    (idf(phrase_df) * BM25 impact(phrase_tf, dl)). The DuckDB oracle
+    re-derives matches from a positional self-join over the raw text."""
+    from pears_fruit_fly_spark.operators.phrase import phrase_match
+    from pears_fruit_fly_spark.plans import commitlog as _cl
+    from pears_fruit_fly_spark.plans import manifest as _mf
+
+    index_dir, vocab = _build_query_index(
+        spark, sf_dir, "pears_idx_pos_", store_positions=True
+    )
+    info = _mf.read_build_info(_cl.resolve(index_dir))
+    m = phrase_match(spark, index_dir, " ".join(PHRASE_QUERY), vocab)
+    k1, b = info["k1"], info["b"]
+    avgdl, n_docs = info["avgdl"], info["n_docs"]
+    df_row = m.agg(F.count("*").alias("phrase_df"))
+    tf = F.col("phrase_tf").cast("double")
+    impact = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    )
+    idf_col = F.log(
+        (F.lit(float(n_docs)) - F.col("phrase_df") + 0.5)
+        / (F.col("phrase_df") + 0.5) + 1.0
+    )
+    scored = m.crossJoin(F.broadcast(df_row)).select(
+        "doc_id", "phrase_tf", F.round(idf_col * impact, 4).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "phrase_tf", "score", "rank")
+    )
+
+
+def q_boolean_search(spark, sf_dir):
+    """Boolean retrieval (+must -must_not should — Lucene BooleanQuery
+    semantics, operators/phrase.py): must = posting intersection, must_not
+    = anti-join, ranking = block-max WAND BM25 over must+should with the
+    candidate set cogrouped into the scatter. Oracle re-derives the same
+    filter + GLOBAL-df BM25 rank in SQL."""
+    from pears_fruit_fly_spark.operators.phrase import search_boolean
+
+    index_dir, vocab = _build_query_index(spark, sf_dir, "pears_idx_bool_")
+    top = search_boolean(spark, index_dir, BOOL_QUERY, vocab, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.select("doc_id", F.round("score", 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "score", "rank")
+    )
+
+
 def q_dedup_latest_orders(spark, sf_dir):
     """P7 dedup-latest: newest order per customer (ts desc, key desc)."""
     orders = _read(spark, sf_dir, "orders")
@@ -1110,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_wand": q_bm25_wand,
         "q_bm25_batch": q_bm25_batch,
         "q_bm25_append": q_bm25_append,
+        "q_phrase_search": q_phrase_search,
+        "q_boolean_search": q_boolean_search,
         "q_dedup_latest_orders": q_dedup_latest_orders,
         "q_latest_event_per_user": q_latest_event_per_user,
         "q_exact_dup_groups": q_exact_dup_groups,
@@ -1269,6 +1355,56 @@ SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
         # same oracle again: the merged base+segment view must be
         # rank-identical to a from-scratch full-corpus build
         "q_bm25_append": bm25_topk_sql,
+        # phrase match re-derived from a positional self-join over raw text
+        # (engine side: positional posting lists + groupBy(doc, pos-offset))
+        "q_phrase_search": f"""
+WITH tp AS ({_SQL_TOKS_POS}),
+hits AS (SELECT a.doc_id FROM tp a JOIN tp b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{PHRASE_QUERY[0]}' AND b.term = '{PHRASE_QUERY[1]}'),
+m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf FROM hits GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM tp GROUP BY 1),
+stats AS (SELECT n_docs, total_tokens / n_docs AS avgdl FROM
+  (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+  (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) AS total_tokens FROM dl)),
+pd AS (SELECT CAST(count(*) AS DOUBLE) AS phrase_df FROM m),
+scored AS (SELECT m.doc_id, m.phrase_tf,
+  round(ln((stats.n_docs - pd.phrase_df + 0.5) / (pd.phrase_df + 0.5) + 1.0)
+        * (m.phrase_tf * ({BM25_K1} + 1))
+        / (m.phrase_tf + {BM25_K1} * (1 - {BM25_B}
+           + {BM25_B} * dl.dl / stats.avgdl)), 4) AS score
+  FROM m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN pd)
+SELECT doc_id, phrase_tf, score, CAST(rank AS INT) AS rank FROM (
+  SELECT doc_id, phrase_tf, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored) WHERE rank <= 20
+""",
+        # boolean: must-intersection minus must_not, BM25 over must+should
+        # with GLOBAL df (the index stats' df — filter does not reweight)
+        "q_boolean_search": f"""
+WITH toks AS ({_SQL_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT n_docs, total_tokens / n_docs AS avgdl FROM
+  (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+  (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) AS total_tokens FROM dl)),
+qt AS (SELECT doc_id, term, tf FROM tf WHERE term IN ('join', 'hash')),
+dfq AS (SELECT term, count(*) AS df FROM qt GROUP BY 1),
+cand AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'join'
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'window')),
+scored AS (SELECT qt.doc_id,
+  round(sum(ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+      * (qt.tf * ({BM25_K1} + 1))
+      / (qt.tf + {BM25_K1} * (1 - {BM25_B}
+         + {BM25_B} * dl.dl / stats.avgdl))), 4) AS score
+  FROM qt JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN stats
+  WHERE qt.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY qt.doc_id)
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+""",
         "q_bm25_batch": """
 WITH toks AS ({_toks}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

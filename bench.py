@@ -88,6 +88,35 @@ def main() -> None:
     timings["index_build"] = time.time() - t0
     extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
+    # ---- positional index + phrase/boolean serving (r3 feature) -----------
+    from pears_fruit_fly_spark.operators.phrase import (
+        phrase_match,
+        search_boolean,
+    )
+
+    pos_dir = os.path.join(work, "pos_index")
+    t0 = time.time()
+    build_postings(
+        spark, pages_ids, vocab, pos_dir,
+        cfg=PostingsConfig(num_partitions=2 * CPUS, skew_df_threshold=5000,
+                           max_docs_per_subpartition=5000,
+                           store_positions=True),
+    )
+    timings["index_build_positional"] = time.time() - t0
+    extras["positional_build_overhead"] = round(
+        timings["index_build_positional"] / timings["index_build"], 3
+    )
+    # phrase latency over frequent head-term bigrams (worst-case volume)
+    t0 = time.time()
+    n_phrase_hits = 0
+    for ph in ("t0 t1", "t1 t0", "t2 t0 t1"):
+        n_phrase_hits += phrase_match(spark, pos_dir, ph, vocab).count()
+    timings["phrase_match_3q"] = time.time() - t0
+    extras["phrase_hits"] = n_phrase_hits
+    t0 = time.time()
+    search_boolean(spark, pos_dir, '+t3 -t9 "t0 t1" t5', vocab, k=10).collect()
+    timings["boolean_search"] = time.time() - t0
+
     # ---- WAND query latency ------------------------------------------------
     qset = make_queries(v=VOCAB_V)
     lat = []
@@ -232,6 +261,33 @@ def main() -> None:
     extras["ann_ivf_sec_per_query"] = round(t_ivf / len(qvecs), 4)
     emb.unpersist()
     assigned.unpersist()
+
+    # LSH recall in its design regime: the sf embeddings are ISOTROPIC
+    # (labels carry no geometry), where ANY bucketing scheme's recall ~=
+    # scanned fraction (similarity.py docstring); real-world embeddings are
+    # CLUSTERED — measure that case too so both numbers are on record
+    import numpy as np
+    import pandas as pd
+
+    rngc = np.random.default_rng(11)
+    ccents = rngc.standard_normal((16, 32)) * 5.0
+    labels = rngc.integers(0, 16, size=8000)
+    cvecs = ccents[labels] + rngc.standard_normal((8000, 32))
+    cemb = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": np.arange(8000, dtype=np.int64),
+            "embedding": [list(map(float, v)) for v in cvecs],
+        })
+    ).persist()
+    cemb.count()
+    crec = []
+    for qid in (5, 77, 1234):
+        qv = [float(x) for x in cvecs[qid]]
+        want = {r["vec_id"] for r in cosine_topk(cemb, qv, k=10).collect()}
+        got = {r["vec_id"] for r in lsh_ann_topk(cemb, qv, k=10).collect()}
+        crec.append(len(got & want) / 10)
+    extras["ann_lsh_recall_at10_clustered"] = round(sum(crec) / len(crec), 3)
+    cemb.unpersist()
 
     # ---- oracle-matched relational operators over SF_DIR -------------------
     headline = [

@@ -361,3 +361,62 @@ class SearchEngine:
             .select("url", "doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
+
+    def search_phrase(self, phrase_text: str, k: int = 10) -> DataFrame:
+        """Exact-phrase top-k → (url, doc_id, score). Needs an index built
+        with PostingsConfig(store_positions=True); for spm_tokenize engines
+        the phrase is piece-encoded first, so adjacency is piece adjacency
+        (the same token stream the index stores)."""
+        from pears_fruit_fly_spark.operators.phrase import phrase_topk
+
+        top = phrase_topk(
+            self.spark, self.index_dir, self._encode_query(phrase_text),
+            self.vocab, k=k,
+        )
+        docmap = self.spark.read.parquet(self.docmap_path)
+        return (
+            top.join(docmap, "doc_id")
+            .select("url", "doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def search_boolean(self, query: str | dict, k: int = 10) -> DataFrame:
+        """Boolean query string ('+must -not \"a phrase\" should') or clause
+        dict → BM25-ranked (url, doc_id, score). Phrase clauses need a
+        store_positions index; term clauses work on any build."""
+        from pears_fruit_fly_spark.operators.phrase import (
+            parse_query,
+            search_boolean,
+        )
+
+        clauses = parse_query(query) if isinstance(query, str) else dict(query)
+        if self._query_tokenizer is not None:
+            clauses = {
+                key: [self._encode_query(v) for v in (clauses.get(key) or [])]
+                for key in ("must", "must_not", "phrases", "not_phrases",
+                            "should")
+            }
+            # piece-encoding can split one word into several pieces. FILTER
+            # clauses must keep exact-word semantics, so multi-piece must /
+            # must_not entries become (excluded) phrase clauses; should
+            # entries only RANK, so their pieces just join the score terms
+            for key, target in (("must", "phrases"),
+                                ("must_not", "not_phrases")):
+                kept = []
+                for entry in clauses[key]:
+                    if " " in entry:
+                        clauses[target].append(entry)
+                    else:
+                        kept.append(entry)
+                clauses[key] = kept
+            clauses["should"] = [
+                piece for entry in clauses["should"] for piece in entry.split()
+            ]
+        top = search_boolean(self.spark, self.index_dir, clauses,
+                             self.vocab, k=k)
+        docmap = self.spark.read.parquet(self.docmap_path)
+        return (
+            top.join(docmap, "doc_id")
+            .select("url", "doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )

@@ -61,6 +61,12 @@ class PostingsConfig:
     # only path for SentencePiece tokenization. True = all-JVM explode +
     # broadcast vocab join (one doc_id exchange before the bucket one);
     # use on clusters where Python workers are scarce.
+    store_positions: bool = False  # True = record token positions per
+    # posting (the Lucene .pos analog; enables phrase queries,
+    # operators/phrase.py). Positions are delta+varbyte encoded in the
+    # narrow tokenize stage, so the build's one wide exchange ships
+    # compressed bytes; index grows by ~1-2 bytes per token occurrence.
+    # Forces the Arrow tokenizer (positions need the full token stream).
 
 
 INGEST_MIN_CHARS = 1000  # ref: common_crawl_processor/cc_process_wet.py:77

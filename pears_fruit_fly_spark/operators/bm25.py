@@ -189,7 +189,10 @@ def open_index(spark: SparkSession, index_dir: str):
             )
         postings = parts[0]
         for p in parts[1:]:
-            postings = postings.unionByName(p)
+            # allowMissingColumns: a legacy base (no positions column on
+            # disk) composes with post-positional segments — absent side
+            # reads as NULL
+            postings = postings.unionByName(p, allowMissingColumns=True)
         stats_union = read_term_stats(spark, dirs[0])
         for d in dirs[1:]:
             stats_union = stats_union.unionByName(read_term_stats(spark, d))
@@ -581,6 +584,9 @@ def bm25_topk_wand(
     blocks = postings.filter(
         F.col("term_bucket").isin(buckets) & F.col("term_id").isin(list(weights))
     )
+    if "positions" in blocks.columns:
+        # BM25 never reads positions — keep them out of the scatter shuffle
+        blocks = blocks.drop("positions")
 
     if (
         driver_fast_path_max_df is not None
@@ -834,19 +840,19 @@ def bm25_topk_wand_batch(
 
     span = (info.get("max_doc") + 1) if info.get("max_doc") is not None else n_docs
     range_width = max(1, (span + n_ranges - 1) // n_ranges)
-    blocks = (
-        postings.filter(
-            F.col("term_bucket").isin(buckets) & F.col("term_id").isin(list(found))
-        )
-        .withColumn(
-            "range_id",
-            F.explode(
-                F.sequence(
-                    (F.col("first_doc") / range_width).cast("long"),
-                    (F.col("last_doc") / range_width).cast("long"),
-                )
-            ),
-        )
+    blocks = postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term_id").isin(list(found))
+    )
+    if "positions" in blocks.columns:
+        blocks = blocks.drop("positions")  # BM25 never reads positions
+    blocks = blocks.withColumn(
+        "range_id",
+        F.explode(
+            F.sequence(
+                (F.col("first_doc") / range_width).cast("long"),
+                (F.col("last_doc") / range_width).cast("long"),
+            )
+        ),
     )
 
     b_qweights = spark.sparkContext.broadcast(qweights)

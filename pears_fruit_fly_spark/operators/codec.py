@@ -14,6 +14,11 @@ Layout per posting block (<= block_size docs of one term):
     dls:      varbyte document lengths — kept posting-local so BM25 scoring
               needs no join at query time (explicit scale trade-off: +1-2
               bytes/posting buys a zero-shuffle scoring stage)
+    positions (optional, store_positions builds): per posting, its tf token
+              positions — first absolute, then gap-1 — varbyte, concatenated
+              in doc order (the Lucene .pos analog). The stream is self-
+              delimiting: posting boundaries = cumulative tf value counts,
+              so no extra offsets are stored.
     metadata: n, first_doc, last_doc, max_tf, max_impact (block-max for WAND)
 """
 
@@ -111,6 +116,78 @@ def bm25_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: floa
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def encode_position_runs(position_lists: list[np.ndarray]) -> list[bytes]:
+    """Per-posting sorted position arrays → per-posting varbyte streams
+    (first position absolute, subsequent gap-1)."""
+    if not position_lists:
+        return []
+    counts = np.fromiter((len(p) for p in position_lists), dtype=np.int64,
+                         count=len(position_lists))
+    flat = (np.concatenate(position_lists).astype(np.uint64)
+            if counts.sum() else np.zeros(0, dtype=np.uint64))
+    return encode_position_runs_flat(flat, counts)
+
+
+def encode_position_runs_flat(flat: np.ndarray, counts: np.ndarray) -> list[bytes]:
+    """(concatenated positions, per-run counts) → per-run varbyte streams,
+    encoded in ONE vectorized pass and sliced at per-run byte offsets."""
+    flat = np.asarray(flat, dtype=np.uint64)
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    stored = np.diff(flat, prepend=flat[:1])
+    nonstart = np.ones(flat.size, dtype=bool)
+    nonstart[starts[counts > 0]] = False
+    if (stored[nonstart] == 0).any():
+        raise ValueError("positions must be strictly increasing per posting")
+    stored[nonstart] -= 1
+    stored[~nonstart] = flat[~nonstart]  # run starts: absolute position
+    stream, widths = _varbyte_encode_arr(stored)
+    b_off = np.concatenate([[0], np.cumsum(widths)])
+    buf = stream.tobytes()
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    return [buf[int(b_off[bounds[i]]) : int(b_off[bounds[i + 1]])]
+            for i in range(counts.size)]
+
+
+def slice_position_stream(buf: bytes, tfs: np.ndarray) -> list[bytes]:
+    """Split a concatenated per-posting position stream back into per-posting
+    byte slices WITHOUT decoding values: varbyte terminator bytes (MSB=0)
+    mark value ends, and posting i holds exactly tfs[i] values. This is what
+    lets merge/append carry positions through decode→re-encode untouched."""
+    t = np.asarray(tfs, dtype=np.int64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.flatnonzero((b & 0x80) == 0)  # terminal byte of each value
+    if ends.size != int(t.sum()):
+        raise ValueError(
+            f"position stream holds {ends.size} values, expected {int(t.sum())}"
+        )
+    vb = np.concatenate([[0], np.cumsum(t)])  # value index bounds per posting
+    byte_bounds = np.concatenate([[0], ends[vb[1:] - 1] + 1]) if t.sum() else \
+        np.zeros(t.size + 1, dtype=np.int64)
+    return [buf[int(byte_bounds[i]) : int(byte_bounds[i + 1])]
+            for i in range(t.size)]
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated position stream of a block → (flat absolute positions,
+    per-posting start offsets into it). One varbyte decode + the cumsum/base
+    trick of decode_blocks_batch (run starts absolute, then gap-1)."""
+    t = np.asarray(tfs, dtype=np.int64)
+    total = int(t.sum())
+    vals = varbyte_decode(buf, total).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(t)[:-1]])
+    adj = vals.copy()
+    nonstart = np.ones(total, dtype=bool)
+    nonstart[starts[t > 0]] = False
+    adj[nonstart] += 1
+    run = np.cumsum(adj)
+    rs = starts[t > 0]
+    base = np.zeros(t.size, dtype=np.int64)
+    base[t > 0] = vals[rs] - run[rs]
+    row_idx = np.repeat(np.arange(t.size, dtype=np.int64), t)
+    return run + base[row_idx], starts
+
+
 def encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
@@ -119,6 +196,7 @@ def encode_blocks(
     k1: float,
     b: float,
     block_size: int = 128,
+    pos_bufs: np.ndarray | None = None,
 ) -> list[dict]:
     """One term's sorted postings → list of block dicts (schema in module doc).
 
@@ -164,6 +242,16 @@ def encode_blocks(
     tf_b = tf_stream.tobytes()
     dl_b = dl_stream.tobytes()
 
+    pos_off = None
+    pos_b = b""
+    if pos_bufs is not None:
+        # per-posting streams are value-local, so the block stream is the
+        # byte concatenation sliced at cumulative per-posting byte widths
+        pos_nb = np.fromiter((len(x) for x in pos_bufs), dtype=np.int64,
+                             count=n)
+        pos_off = np.concatenate([[0], np.cumsum(pos_nb)])
+        pos_b = b"".join(pos_bufs)
+
     blocks = []
     for bi in range(starts.size):
         s, e = int(starts[bi]), int(ends[bi])
@@ -176,6 +264,10 @@ def encode_blocks(
                 "doc_gaps": gap_b[int(gap_off[s]) : int(gap_off[e])],
                 "tfs": tf_b[int(tf_off[s]) : int(tf_off[e])],
                 "dls": dl_b[int(dl_off[s]) : int(dl_off[e])],
+                "positions": (
+                    pos_b[int(pos_off[s]) : int(pos_off[e])]
+                    if pos_off is not None else None
+                ),
                 "max_tf": int(max_tf[bi]),
                 "max_impact": float(max_imp[bi]),
             }

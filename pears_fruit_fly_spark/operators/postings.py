@@ -67,6 +67,15 @@ STAGED_TOKENS_SCHEMA = StructType(
     TOKENS_SCHEMA.fields + [StructField("term_bucket", IntegerType())]
 )
 
+# store_positions builds carry one extra binary per (doc, term): the
+# varbyte-encoded token positions (codec.encode_position_runs layout)
+TOKENS_POS_SCHEMA = StructType(
+    TOKENS_SCHEMA.fields + [StructField("pos", BinaryType())]
+)
+STAGED_TOKENS_POS_SCHEMA = StructType(
+    TOKENS_POS_SCHEMA.fields + [StructField("term_bucket", IntegerType())]
+)
+
 POSTINGS_SCHEMA = StructType(
     [
         StructField("term_id", IntegerType()),
@@ -78,13 +87,17 @@ POSTINGS_SCHEMA = StructType(
         StructField("doc_gaps", BinaryType()),
         StructField("tfs", BinaryType()),
         StructField("dls", BinaryType()),
+        # NULL on tf-only builds; the concatenated per-posting position
+        # streams (codec module doc) when built with store_positions
+        StructField("positions", BinaryType()),
         StructField("max_tf", IntegerType()),
         StructField("max_impact", DoubleType()),
     ]
 )
 
 
-def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text") -> DataFrame:
+def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text",
+                with_positions: bool = False) -> DataFrame:
     """pages(doc_id, text) → long-format tokens (doc_id, term_id, tf, dl).
 
     Narrow mapInPandas (flatMap shape): per-doc unique-term counts computed
@@ -92,6 +105,14 @@ def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text") -> DataF
     (explode + groupBy, SURVEY.md F2) would shuffle every token; this emits
     pre-aggregated (doc, term) rows and shuffles nothing.
     dl = total in-vocab token count (the BM25 dl statistic).
+
+    with_positions adds a `pos` binary: the (doc, term)'s token positions
+    already delta+varbyte encoded HERE, in the narrow stage — the build's
+    one wide exchange then ships compressed position bytes, and the block
+    encoder just concatenates slices (zero re-encoding). Positions are
+    ordinals over the FULL split token stream (OOV tokens advance positions
+    without producing postings — the Lucene position-increment semantics),
+    so phrase adjacency survives intervening out-of-vocab words.
     """
     spark = pages.sparkSession
     b_terms = spark.sparkContext.broadcast(list(vocab.terms))
@@ -99,6 +120,10 @@ def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text") -> DataF
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # pd.Index.get_indexer = one vectorized hash lookup for the whole
         # batch (C speed) instead of a per-token Python dict probe.
+        from pears_fruit_fly_spark.operators.codec import (
+            encode_position_runs_flat,
+        )
+
         vocab_index = pd.Index(b_terms.value)
         V = len(vocab_index)
         for pdf in batches:
@@ -129,16 +154,27 @@ def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text") -> DataF
             key = doc_sel * V + id_sel
             uniq, counts = np.unique(key, return_counts=True)
             out_doc_idx = uniq // V
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy()[out_doc_idx],
-                    "term_id": (uniq % V).astype(np.int32),
-                    "tf": counts.astype(np.int32),
-                    "dl": dl_per_doc[out_doc_idx].astype(np.int64),
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy()[out_doc_idx],
+                "term_id": (uniq % V).astype(np.int32),
+                "tf": counts.astype(np.int32),
+                "dl": dl_per_doc[out_doc_idx].astype(np.int64),
+            }
+            if with_positions:
+                # position = ordinal in the doc's FULL token list; flat
+                # order is position order, so a stable key sort groups each
+                # (doc, term)'s positions ascending — matching np.unique's
+                # group order exactly
+                doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                pos_all = np.arange(lens.sum(), dtype=np.int64) - np.repeat(
+                    doc_starts, lens
+                )
+                pos_sorted = pos_all[mask][np.argsort(key, kind="stable")]
+                out["pos"] = encode_position_runs_flat(pos_sorted, counts)
+            yield pd.DataFrame(out)
 
-    return pages.select("doc_id", text_col).mapInPandas(_tok, TOKENS_SCHEMA)
+    schema = TOKENS_POS_SCHEMA if with_positions else TOKENS_SCHEMA
+    return pages.select("doc_id", text_col).mapInPandas(_tok, schema)
 
 
 def tokens_long_jvm(
@@ -197,17 +233,25 @@ def vocab_to_df_minimal(spark: SparkSession, vocab: Vocab) -> DataFrame:
     )
 
 
-def _encoder(avgdl: float, bm25: BM25Config, block_size: int):
+def _encoder(avgdl: float, bm25: BM25Config, block_size: int,
+             with_positions: bool = False):
     """mapInPandas encoder over a partition sorted by (term_id, salt, doc_id).
 
     Carries the open (term, salt) run across Arrow batch boundaries so block
     layout is independent of batch size (determinism requirement).
+    with_positions: input rows carry the `pos` binary (per-posting encoded
+    position stream); blocks concatenate the slices untouched.
     """
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: dict | None = None  # open run: term, salt, ids/tfs/dls arrays
 
         def flush(run) -> pd.DataFrame:
+            pos_bufs = None
+            if with_positions:
+                pos_bufs = np.concatenate(
+                    [np.asarray(p, dtype=object) for p in run["pos"]]
+                )
             blocks = encode_blocks(
                 np.concatenate(run["ids"]),
                 np.concatenate(run["tfs"]),
@@ -216,6 +260,7 @@ def _encoder(avgdl: float, bm25: BM25Config, block_size: int):
                 bm25.k1,
                 bm25.b,
                 block_size,
+                pos_bufs=pos_bufs,
             )
             rows = pd.DataFrame(blocks)
             rows.insert(0, "salt", np.int32(run["salt"]))
@@ -239,20 +284,16 @@ def _encoder(avgdl: float, bm25: BM25Config, block_size: int):
                     "tfs": pdf["tf"].values[s:e],
                     "dls": pdf["dl"].values[s:e],
                 }
+                if with_positions:
+                    seg["pos"] = pdf["pos"].values[s:e]
                 if carry is not None and carry["term"] == t and carry["salt"] == sa:
-                    carry["ids"].append(seg["ids"])
-                    carry["tfs"].append(seg["tfs"])
-                    carry["dls"].append(seg["dls"])
+                    for field in seg:
+                        carry[field].append(seg[field])
                     continue
                 if carry is not None:
                     out.append(flush(carry))
-                carry = {
-                    "term": t,
-                    "salt": sa,
-                    "ids": [seg["ids"]],
-                    "tfs": [seg["tfs"]],
-                    "dls": [seg["dls"]],
-                }
+                carry = {"term": t, "salt": sa}
+                carry.update({field: [v] for field, v in seg.items()})
             if out:
                 yield pd.concat(out, ignore_index=True)
         if carry is not None:
@@ -310,9 +351,11 @@ def build_postings(
     fingerprint = f"{int(fp_row['n'])}:{fp_row['h'] if fp_row['h'] is not None else 0}"
 
     def tokens_factory() -> DataFrame:
-        if cfg.jvm_tokenizer:
+        if cfg.jvm_tokenizer and not cfg.store_positions:
             return tokens_long_jvm(pages_with_ids, vocab, text_col)
-        return tokens_long(pages_with_ids, vocab, text_col)
+        # positions need the full token stream — only the Arrow path has it
+        return tokens_long(pages_with_ids, vocab, text_col,
+                           with_positions=cfg.store_positions)
 
     info = _build_from_tokens(
         spark, tokens_factory, fingerprint,
@@ -403,7 +446,9 @@ def _build_from_tokens(
         # ---- stage 2: stats from the staged tokens (compact re-read) ----
         # explicit schema: an empty corpus leaves no parquet footers to
         # infer from, but must still produce a valid (empty) index
-        staged_tokens = spark.read.schema(STAGED_TOKENS_SCHEMA).parquet(staging)
+        staged_schema = (STAGED_TOKENS_POS_SCHEMA if cfg.store_positions
+                         else STAGED_TOKENS_SCHEMA)
+        staged_tokens = spark.read.schema(staged_schema).parquet(staging)
         term_stats = staged_tokens.groupBy("term_id").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
         ).withColumn(
@@ -434,6 +479,7 @@ def _build_from_tokens(
             "corpus_fingerprint": fingerprint,
             "min_doc": int(min_doc) if min_doc is not None else None,
             "max_doc": int(max_doc) if max_doc is not None else None,
+            "store_positions": bool(cfg.store_positions),
         }
         mf.write_build_info(index_dir, info)
     else:
@@ -460,8 +506,14 @@ def _build_from_tokens(
     # flowing into the encoder — measured ~30% extra Arrow-boundary cost at
     # 29M rows. Raise it for the encode actions, restore after.
     arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    encode = _encoder(avgdl, BM25Config(info["k1"], info["b"]), info["block_size"])
-    staged = spark.read.schema(STAGED_TOKENS_SCHEMA).parquet(staging)
+    # on resume, the RECORDED flag governs (a re-run with a different cfg
+    # must keep the on-disk layout consistent)
+    with_pos = bool(info.get("store_positions", False))
+    encode = _encoder(avgdl, BM25Config(info["k1"], info["b"]),
+                      info["block_size"], with_positions=with_pos)
+    staged = spark.read.schema(
+        STAGED_TOKENS_POS_SCHEMA if with_pos else STAGED_TOKENS_SCHEMA
+    ).parquet(staging)
     term_stats_df = spark.read.parquet(stats_path)
     # bucket inventory + per-bucket input row counts come from term_stats
     # (tiny) — no extra pass over the staged tokens
@@ -639,6 +691,9 @@ def append_postings(
         max_docs_per_subpartition=(cfg or PostingsConfig()).max_docs_per_subpartition,
         bucket_batch_size=(cfg or PostingsConfig()).bucket_batch_size,
         jvm_tokenizer=(cfg or PostingsConfig()).jvm_tokenizer,
+        # segments inherit the base layout — a positional index stays
+        # phrase-queryable across its merged-on-read view
+        store_positions=bool(base_info.get("store_positions", False)),
     )
     fp_row = _corpus_fingerprint_row(new_pages_with_ids, text_col)
     if fp_row["n"] == 0:
@@ -663,9 +718,10 @@ def append_postings(
     bm25 = BM25Config(base_info["k1"], base_info["b"])
 
     def tokens_factory() -> DataFrame:
-        if seg_cfg.jvm_tokenizer:
+        if seg_cfg.jvm_tokenizer and not seg_cfg.store_positions:
             return tokens_long_jvm(new_pages_with_ids, vocab, text_col)
-        return tokens_long(new_pages_with_ids, vocab, text_col)
+        return tokens_long(new_pages_with_ids, vocab, text_col,
+                           with_positions=seg_cfg.store_positions)
 
     info = _build_from_tokens(
         spark, tokens_factory, fingerprint,
@@ -679,17 +735,26 @@ def append_postings(
     return info
 
 
-def _decoded_tokens_factory(spark: SparkSession, dirs: list[str]):
+def _decoded_tokens_factory(spark: SparkSession, dirs: list[str],
+                            with_positions: bool = False):
     """Tokens (doc_id, term_id, tf, dl) decoded back out of posting blocks —
-    the read side of the multi-way segment merge."""
+    the read side of the multi-way segment merge. with_positions also emits
+    the per-posting `pos` byte slice, split from the block stream WITHOUT
+    transcoding (varbyte terminators + tf counts locate the boundaries —
+    codec.slice_position_stream), so a merge of a positional index moves
+    position bytes verbatim."""
 
     def factory() -> DataFrame:
-        from pears_fruit_fly_spark.operators.codec import decode_blocks_batch
+        from pears_fruit_fly_spark.operators.codec import (
+            decode_blocks_batch,
+            slice_position_stream,
+        )
 
         frames = [read_postings(spark, d) for d in dirs]
         allp = frames[0]
         for f in frames[1:]:
-            allp = allp.unionByName(f)
+            # legacy base + post-positional segments: absent column -> NULL
+            allp = allp.unionByName(f, allowMissingColumns=True)
 
         def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # ONE vectorized decode per Arrow batch (r3; was a per-row loop)
@@ -700,17 +765,28 @@ def _decoded_tokens_factory(spark: SparkSession, dirs: list[str]):
                     pdf["n"].to_numpy(), pdf["first_doc"].to_numpy(),
                     pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
                 )
-                yield pd.DataFrame(
-                    {
-                        "doc_id": ids,
-                        "term_id": pdf["term_id"].to_numpy()[rix].astype(np.int32),
-                        "tf": tfs.astype(np.int32),
-                        "dl": dls,
-                    }
-                )
+                out = {
+                    "doc_id": ids,
+                    "term_id": pdf["term_id"].to_numpy()[rix].astype(np.int32),
+                    "tf": tfs.astype(np.int32),
+                    "dl": dls,
+                }
+                if with_positions:
+                    slices: list[bytes] = []
+                    n_arr = pdf["n"].to_numpy()
+                    bounds = np.concatenate([[0], np.cumsum(n_arr)])
+                    for bi, buf in enumerate(pdf["positions"]):
+                        slices.extend(slice_position_stream(
+                            bytes(buf), tfs[bounds[bi] : bounds[bi + 1]]
+                        ))
+                    out["pos"] = np.asarray(slices, dtype=object)
+                yield pd.DataFrame(out)
 
         cols = ["term_id", "n", "first_doc", "doc_gaps", "tfs", "dls"]
-        return allp.select(*cols).mapInPandas(_decode, TOKENS_SCHEMA)
+        if with_positions:
+            cols.append("positions")
+        schema = TOKENS_POS_SCHEMA if with_positions else TOKENS_SCHEMA
+        return allp.select(*cols).mapInPandas(_decode, schema)
 
     return factory
 
@@ -757,8 +833,10 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
         block_size=base["block_size"],
         num_partitions=base["num_partitions"],
         skew_df_threshold=base["skew_df_threshold"],
+        store_positions=bool(base.get("store_positions", False)),
     )
-    decoded = _decoded_tokens_factory(spark, [live] + segs)
+    decoded = _decoded_tokens_factory(spark, [live] + segs,
+                                      with_positions=cfg.store_positions)
     if tomb_count:
         inner = decoded
 

@@ -109,6 +109,7 @@ def test_encode_blocks_one_pass_matches_per_block_reference():
                 "doc_gaps": varbyte_encode(gaps),
                 "tfs": varbyte_encode(np.asarray(t, dtype=np.uint64) - 1),
                 "dls": varbyte_encode(np.asarray(d, dtype=np.uint64)),
+                "positions": None,
                 "max_tf": int(t.max()), "max_impact": float(impacts.max()),
             })
         return blocks
