@@ -431,6 +431,36 @@ def q_boolean_search(spark, sf_dir):
     )
 
 
+SNIPPET_WINDOW = 8
+
+
+def q_snippets(spark, sf_dir):
+    """Query-dependent snippets from the POSITIONAL index (Lucene
+    highlighter analog, operators/snippets.py): top-10 WAND BM25 for the
+    frozen query, then the best idf-weighted window per hit computed from
+    stored positions only — text touched JVM-side for the 10 winners. The
+    DuckDB oracle re-derives the same windows from a positional self-join."""
+    from pears_fruit_fly_spark.operators.snippets import snippets
+
+    index_dir, vocab = _build_query_index(
+        spark, sf_dir, "pears_idx_snip_", store_positions=True
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(tokens_array("text"), " ").alias("text")
+    )
+    out = snippets(
+        spark, index_dir, " ".join(QUERY_TERMS), vocab, docs, k=10,
+        window=SNIPPET_WINDOW,
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"),
+                   "snip_start", "snippet")
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "score", "snip_start", "snippet", "rank")
+    )
+
+
 def q_dedup_latest_orders(spark, sf_dir):
     """P7 dedup-latest: newest order per customer (ts desc, key desc)."""
     orders = _read(spark, sf_dir, "orders")
@@ -1196,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_append": q_bm25_append,
         "q_phrase_search": q_phrase_search,
         "q_boolean_search": q_boolean_search,
+        "q_snippets": q_snippets,
         "q_dedup_latest_orders": q_dedup_latest_orders,
         "q_latest_event_per_user": q_latest_event_per_user,
         "q_exact_dup_groups": q_exact_dup_groups,
@@ -1378,6 +1409,41 @@ SELECT doc_id, phrase_tf, score, CAST(rank AS INT) AS rank FROM (
   SELECT doc_id, phrase_tf, score,
          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
   FROM scored) WHERE rank <= 20
+""",
+        # snippets: same top-10 as the BM25 family, best idf-weighted window
+        # per doc re-derived from a positional self-join; both engines round
+        # window scores to 6dp BEFORE the argmax so equal-weight windows tie
+        # exactly and the earliest wins
+        "q_snippets": f"""
+WITH scores AS ({_SQL_BM25_SCORES}),
+top AS (SELECT doc_id, round(score_raw, 4) AS score FROM scores
+        ORDER BY score_raw DESC, doc_id ASC LIMIT 10),
+tp AS ({_SQL_TOKS_POS}),
+qdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tp
+        WHERE term IN ({", ".join(f"'{t}'" for t in QUERY_TERMS)})
+        GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+w AS (SELECT term, ln((nd.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+      AS wt FROM qdf CROSS JOIN nd),
+wh AS (SELECT tp.doc_id, tp.pos - 1 AS p, w.wt FROM tp JOIN w USING (term)
+       WHERE tp.doc_id IN (SELECT doc_id FROM top)),
+win AS (SELECT a.doc_id, a.p AS s, round(sum(b.wt), 6) AS sc
+        FROM wh a JOIN wh b ON a.doc_id = b.doc_id
+          AND b.p >= a.p AND b.p < a.p + {SNIPPET_WINDOW}
+        GROUP BY 1, 2),
+best AS (SELECT doc_id, s FROM (
+  SELECT doc_id, s, row_number() OVER (
+    PARTITION BY doc_id ORDER BY sc DESC, s ASC) AS rn FROM win)
+  WHERE rn = 1),
+arr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)
+SELECT doc_id, score, snip_start, snippet, CAST(rank AS INT) AS rank FROM (
+  SELECT top.doc_id, top.score, CAST(best.s AS BIGINT) AS snip_start,
+    array_to_string(list_slice(arr.toks, best.s + 1,
+                               best.s + {SNIPPET_WINDOW}), ' ') AS snippet,
+    row_number() OVER (ORDER BY top.score DESC, top.doc_id ASC) AS rank
+  FROM top JOIN best ON top.doc_id = best.doc_id
+  JOIN arr ON top.doc_id = arr.doc_id)
 """,
         # boolean: must-intersection minus must_not, BM25 over must+should
         # with GLOBAL df (the index stats' df — filter does not reweight)

@@ -1,10 +1,10 @@
 """Phrase and boolean queries over the positional inverted index.
 
 Not in the reference (PeARS-fruit-fly serves signature search only —
-web_map/app/search/score_pages.py ranks by Hamming distance); this is the
-standard fulltext-engine surface (Lucene PhraseQuery / BooleanQuery) the
-north_rule's index family implies, built on the `store_positions` posting
-layout (operators/codec.py, operators/postings.py).
+dense_fruit_fly/fly_search.py:124-127 ranks by Hamming-similarity argsort);
+this is the standard fulltext-engine surface (Lucene PhraseQuery /
+BooleanQuery) the north_rule's index family implies, built on the
+`store_positions` posting layout (operators/codec.py, operators/postings.py).
 
 Execution shape — 100 TB first:
 
