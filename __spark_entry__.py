@@ -390,20 +390,23 @@ def q_phrase_search(spark, sf_dir):
         spark, sf_dir, "pears_idx_pos_", store_positions=True
     )
     info = _mf.read_build_info(_cl.resolve(index_dir))
-    m = phrase_match(spark, index_dir, " ".join(PHRASE_QUERY), vocab)
+    # checkpoint once: the phrase_df aggregate AND the scoring branch both
+    # read the match set — without this the match kernel runs twice
+    m = phrase_match(
+        spark, index_dir, " ".join(PHRASE_QUERY), vocab
+    ).localCheckpoint(eager=True)
     k1, b = info["k1"], info["b"]
     avgdl, n_docs = info["avgdl"], info["n_docs"]
-    df_row = m.agg(F.count("*").alias("phrase_df"))
+    phrase_df = m.count()
     tf = F.col("phrase_tf").cast("double")
     impact = (tf * (k1 + 1.0)) / (
         tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
     )
-    idf_col = F.log(
-        (F.lit(float(n_docs)) - F.col("phrase_df") + 0.5)
-        / (F.col("phrase_df") + 0.5) + 1.0
-    )
-    scored = m.crossJoin(F.broadcast(df_row)).select(
-        "doc_id", "phrase_tf", F.round(idf_col * impact, 4).alias("score")
+    import math
+
+    w_idf = math.log((n_docs - phrase_df + 0.5) / (phrase_df + 0.5) + 1.0)
+    scored = m.select(
+        "doc_id", "phrase_tf", F.round(F.lit(w_idf) * impact, 4).alias("score")
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (

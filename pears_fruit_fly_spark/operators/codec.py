@@ -116,18 +116,6 @@ def bm25_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: floa
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
-def encode_position_runs(position_lists: list[np.ndarray]) -> list[bytes]:
-    """Per-posting sorted position arrays → per-posting varbyte streams
-    (first position absolute, subsequent gap-1)."""
-    if not position_lists:
-        return []
-    counts = np.fromiter((len(p) for p in position_lists), dtype=np.int64,
-                         count=len(position_lists))
-    flat = (np.concatenate(position_lists).astype(np.uint64)
-            if counts.sum() else np.zeros(0, dtype=np.uint64))
-    return encode_position_runs_flat(flat, counts)
-
-
 def encode_position_runs_flat(flat: np.ndarray, counts: np.ndarray) -> list[bytes]:
     """(concatenated positions, per-run counts) → per-run varbyte streams,
     encoded in ONE vectorized pass and sliced at per-run byte offsets."""

@@ -118,57 +118,27 @@ def phrase_match(
         F.col("term_bucket").isin(buckets) & F.col("term_id").isin(term_ids)
     ).select("term_id", "n", "first_doc", "tfs", "doc_gaps", "dls", "positions")
 
+    from pears_fruit_fly_spark.operators.postings import (
+        POSTING_ROWS_POS_DDL,
+        decode_posting_rows_with_positions,
+        doc_complete_batches,
+    )
+
     b_offsets = spark.sparkContext.broadcast(offsets)
     b_tomb = spark.sparkContext.broadcast(tombstones)
 
     def _pairs(batches):
-        """Blocks → per-posting (doc_id, term_id, tf, dl, pos-bytes). The
-        position payload travels COMPRESSED: boundaries come from varbyte
-        terminators + tf counts, no decode here."""
-        from pears_fruit_fly_spark.operators.codec import (
-            decode_blocks_batch,
-            slice_position_stream,
-        )
+        # position payloads travel COMPRESSED (shared decode body)
+        return decode_posting_rows_with_positions(batches, excl=b_tomb.value)
 
-        excl = b_tomb.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids, tfs, dls, rix = decode_blocks_batch(
-                pdf["n"].to_numpy(), pdf["first_doc"].to_numpy(),
-                pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
-            )
-            n_arr = pdf["n"].to_numpy()
-            bounds = np.concatenate([[0], np.cumsum(n_arr)])
-            slices: list[bytes] = []
-            for bi, buf in enumerate(pdf["positions"]):
-                slices.extend(slice_position_stream(
-                    bytes(buf), tfs[bounds[bi] : bounds[bi + 1]]
-                ))
-            out = {
-                "doc_id": ids,
-                "term_id": pdf["term_id"].to_numpy()[rix].astype(np.int32),
-                "tf": tfs.astype(np.int32),
-                "dl": dls,
-                "pos": np.asarray(slices, dtype=object),
-            }
-            if excl is not None and ids.size:
-                keep = ~np.isin(ids, excl)
-                out = {k: v[keep] for k, v in out.items()}
-            yield pd.DataFrame(out)
-
-    pairs = blocks.mapInPandas(
-        _pairs, "doc_id long, term_id int, tf int, dl long, pos binary"
-    )
+    pairs = blocks.mapInPandas(_pairs, POSTING_ROWS_POS_DDL)
     if tomb_df is not None:
         # tombstone set too large for a broadcast array: distributed mask
         pairs = pairs.join(tomb_df, "doc_id", "left_anti")
 
     def _match(batches):
         """Vectorized phrase kernel over a doc-clustered, doc-sorted
-        partition. Rows of one doc never straddle an Arrow batch boundary
-        thanks to the trailing-doc carry (the _encoder pattern)."""
-        carry: pd.DataFrame | None = None
+        partition (doc_complete_batches keeps each doc's rows whole)."""
         offs = b_offsets.value
 
         def kernel(pdf: pd.DataFrame):
@@ -223,22 +193,8 @@ def phrase_match(
                 "dl": hit_dls[first_idx],
             })
 
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            last_doc = pdf["doc_id"].iloc[-1]
-            tail = pdf["doc_id"] == last_doc
-            carry = pdf[tail].reset_index(drop=True)
-            head = pdf[~tail]
-            if not head.empty:
-                out = kernel(head)
-                if out is not None:
-                    yield out
-        if carry is not None and not carry.empty:
-            out = kernel(carry)
+        for pdf in doc_complete_batches(batches):
+            out = kernel(pdf)
             if out is not None:
                 yield out
 
@@ -259,24 +215,23 @@ def phrase_topk(
 
     score = idf(phrase_df) * impact(phrase_tf, dl) with the index's k1/b —
     exactly the single-term BM25 formula over the phrase's occurrence
-    statistics. phrase_df comes from a broadcast 1-row aggregate of the
-    match set (no collect, no single-partition window); top-k compiles to
-    TakeOrderedAndProject."""
+    statistics. The match set is localCheckpointed once (review finding:
+    referencing the lazy plan from both the phrase_df aggregate and the
+    scoring branch re-ran the clustered sort + match kernel twice), so
+    phrase_df becomes a driver scalar and scoring reads the materialized
+    matches; top-k compiles to TakeOrderedAndProject."""
     info, *_ = open_index(spark, index_dir)
     n_docs, avgdl = info["n_docs"], info["avgdl"]
     k1, b = info["k1"], info["b"]
     matches = phrase_match(spark, index_dir, phrase_text, vocab)
-    df_row = matches.agg(F.count("*").alias("phrase_df"))
+    matches = matches.localCheckpoint(eager=True)
+    phrase_df = matches.count()
     tf = F.col("phrase_tf").cast("double")
     dl = F.col("dl").cast("double")
     impact = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-    idf_col = F.log(
-        (F.lit(float(n_docs)) - F.col("phrase_df") + 0.5)
-        / (F.col("phrase_df") + 0.5) + 1.0
-    )
+    w = idf(n_docs, phrase_df)
     return (
-        matches.crossJoin(F.broadcast(df_row))
-        .select("doc_id", (idf_col * impact).alias("score"))
+        matches.select("doc_id", (F.lit(w) * impact).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

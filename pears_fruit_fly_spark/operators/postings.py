@@ -110,9 +110,12 @@ def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text",
     already delta+varbyte encoded HERE, in the narrow stage — the build's
     one wide exchange then ships compressed position bytes, and the block
     encoder just concatenates slices (zero re-encoding). Positions are
-    ordinals over the FULL split token stream (OOV tokens advance positions
-    without producing postings — the Lucene position-increment semantics),
-    so phrase adjacency survives intervening out-of-vocab words.
+    ordinals over the NON-EMPTY token stream: real words — including OOV
+    words, which produce no posting — advance positions, but empty-string
+    split artifacts from separator runs (double spaces, blank lines) do
+    NOT (the Lucene position-increment semantics; review finding — raw
+    split ordinals made 'open\\n\\nsource' non-adjacent and silently broke
+    phrase recall on real extracted web text).
     """
     spark = pages.sparkSession
     b_terms = spark.sparkContext.broadcast(list(vocab.terms))
@@ -161,14 +164,20 @@ def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text",
                 "dl": dl_per_doc[out_doc_idx].astype(np.int64),
             }
             if with_positions:
-                # position = ordinal in the doc's FULL token list; flat
+                # position = ordinal among the doc's NON-EMPTY tokens; flat
                 # order is position order, so a stable key sort groups each
                 # (doc, term)'s positions ascending — matching np.unique's
-                # group order exactly
+                # group order exactly. In-vocab tokens are never empty, so
+                # the masked selection always has a defined position.
+                nonempty = flat != ""
+                ne_cum = np.cumsum(nonempty, dtype=np.int64)  # 1-based rank
                 doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-                pos_all = np.arange(lens.sum(), dtype=np.int64) - np.repeat(
-                    doc_starts, lens
+                # lens >= 1 always ('' splits to ['']), so doc_starts[1:]-1
+                # never underflows
+                base = np.repeat(
+                    np.concatenate([[0], ne_cum[doc_starts[1:] - 1]]), lens
                 )
+                pos_all = ne_cum - 1 - base
                 pos_sorted = pos_all[mask][np.argsort(key, kind="stable")]
                 out["pos"] = encode_position_runs_flat(pos_sorted, counts)
             yield pd.DataFrame(out)
@@ -735,6 +744,68 @@ def append_postings(
     return info
 
 
+POSTING_ROWS_POS_DDL = "doc_id long, term_id int, tf int, dl long, pos binary"
+
+
+def decode_posting_rows_with_positions(batches, excl=None):
+    """Shared mapInPandas body: posting-block pdfs → per-posting pdfs
+    (doc_id, term_id, tf, dl, pos-bytes). Position payloads stay COMPRESSED
+    (codec.slice_position_stream — varbyte terminators + tf counts locate
+    boundaries, no decode). excl: optional sorted int64 tombstone array.
+    Single source of truth for phrase / snippets / the segment-merge
+    decode (review finding: three divergent copies)."""
+    from pears_fruit_fly_spark.operators.codec import (
+        decode_blocks_batch,
+        slice_position_stream,
+    )
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        ids, tfs, dls, rix = decode_blocks_batch(
+            pdf["n"].to_numpy(), pdf["first_doc"].to_numpy(),
+            pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+        )
+        bounds = np.concatenate([[0], np.cumsum(pdf["n"].to_numpy())])
+        slices: list[bytes] = []
+        for bi, buf in enumerate(pdf["positions"]):
+            slices.extend(slice_position_stream(
+                bytes(buf), tfs[bounds[bi] : bounds[bi + 1]]
+            ))
+        out = {
+            "doc_id": ids,
+            "term_id": pdf["term_id"].to_numpy()[rix].astype(np.int32),
+            "tf": tfs.astype(np.int32),
+            "dl": dls,
+            "pos": np.asarray(slices, dtype=object),
+        }
+        if excl is not None and ids.size:
+            keep = ~np.isin(ids, excl)
+            out = {k: v[keep] for k, v in out.items()}
+        yield pd.DataFrame(out)
+
+
+def doc_complete_batches(batches):
+    """Re-chunk an Arrow batch stream that is SORTED by doc_id within the
+    partition so that no doc's rows straddle a yielded frame (the
+    trailing-doc carry — shared by every doc-clustered kernel)."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        last_doc = pdf["doc_id"].iloc[-1]
+        tail = pdf["doc_id"] == last_doc
+        carry = pdf[tail].reset_index(drop=True)
+        head = pdf[~tail]
+        if not head.empty:
+            yield head
+    if carry is not None and not carry.empty:
+        yield carry
+
+
 def _decoded_tokens_factory(spark: SparkSession, dirs: list[str],
                             with_positions: bool = False):
     """Tokens (doc_id, term_id, tf, dl) decoded back out of posting blocks —
@@ -745,10 +816,7 @@ def _decoded_tokens_factory(spark: SparkSession, dirs: list[str],
     position bytes verbatim."""
 
     def factory() -> DataFrame:
-        from pears_fruit_fly_spark.operators.codec import (
-            decode_blocks_batch,
-            slice_position_stream,
-        )
+        from pears_fruit_fly_spark.operators.codec import decode_blocks_batch
 
         frames = [read_postings(spark, d) for d in dirs]
         allp = frames[0]
@@ -765,28 +833,19 @@ def _decoded_tokens_factory(spark: SparkSession, dirs: list[str],
                     pdf["n"].to_numpy(), pdf["first_doc"].to_numpy(),
                     pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
                 )
-                out = {
+                yield pd.DataFrame({
                     "doc_id": ids,
                     "term_id": pdf["term_id"].to_numpy()[rix].astype(np.int32),
                     "tf": tfs.astype(np.int32),
                     "dl": dls,
-                }
-                if with_positions:
-                    slices: list[bytes] = []
-                    n_arr = pdf["n"].to_numpy()
-                    bounds = np.concatenate([[0], np.cumsum(n_arr)])
-                    for bi, buf in enumerate(pdf["positions"]):
-                        slices.extend(slice_position_stream(
-                            bytes(buf), tfs[bounds[bi] : bounds[bi + 1]]
-                        ))
-                    out["pos"] = np.asarray(slices, dtype=object)
-                yield pd.DataFrame(out)
+                })
 
         cols = ["term_id", "n", "first_doc", "doc_gaps", "tfs", "dls"]
         if with_positions:
-            cols.append("positions")
-        schema = TOKENS_POS_SCHEMA if with_positions else TOKENS_SCHEMA
-        return allp.select(*cols).mapInPandas(_decode, schema)
+            return allp.select(*cols, "positions").mapInPandas(
+                decode_posting_rows_with_positions, TOKENS_POS_SCHEMA
+            )
+        return allp.select(*cols).mapInPandas(_decode, TOKENS_SCHEMA)
 
     return factory
 

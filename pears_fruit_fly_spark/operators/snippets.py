@@ -59,8 +59,8 @@ def snippet_spans(
     """Best snippet window per candidate doc → (doc_id, snip_start,
     snip_score). Docs with no query-term hit produce no row. Requires a
     store_positions build."""
-    info, postings, term_stats, driver_stats, tombstones, _, _ = open_index(
-        spark, index_dir
+    info, postings, term_stats, driver_stats, tombstones, _, tomb_df = (
+        open_index(spark, index_dir)
     )
     if not info.get("store_positions", False):
         raise ValueError(
@@ -92,55 +92,35 @@ def snippet_spans(
         & F.col("term_id").isin(list(weights))
     ).select("term_id", "n", "first_doc", "tfs", "doc_gaps", "dls", "positions")
 
+    from pears_fruit_fly_spark.operators.postings import (
+        POSTING_ROWS_POS_DDL,
+        decode_posting_rows_with_positions,
+        doc_complete_batches,
+    )
+
     b_weights = spark.sparkContext.broadcast(weights)
     b_tomb = spark.sparkContext.broadcast(tombstones)
 
     def _pairs(batches):
-        from pears_fruit_fly_spark.operators.codec import (
-            decode_blocks_batch,
-            slice_position_stream,
-        )
+        # position payloads travel COMPRESSED (shared decode body)
+        return decode_posting_rows_with_positions(batches, excl=b_tomb.value)
 
-        excl = b_tomb.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids, tfs, _, rix = decode_blocks_batch(
-                pdf["n"].to_numpy(), pdf["first_doc"].to_numpy(),
-                pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
-            )
-            bounds = np.concatenate([[0], np.cumsum(pdf["n"].to_numpy())])
-            slices: list[bytes] = []
-            for bi, buf in enumerate(pdf["positions"]):
-                slices.extend(slice_position_stream(
-                    bytes(buf), tfs[bounds[bi] : bounds[bi + 1]]
-                ))
-            out = {
-                "doc_id": ids,
-                "term_id": pdf["term_id"].to_numpy()[rix].astype(np.int32),
-                "tf": tfs.astype(np.int32),
-                "pos": np.asarray(slices, dtype=object),
-            }
-            if excl is not None and ids.size:
-                keep = ~np.isin(ids, excl)
-                out = {k: v[keep] for k, v in out.items()}
-            yield pd.DataFrame(out)
-
-    pairs = blocks.mapInPandas(
-        _pairs, "doc_id long, term_id int, tf int, pos binary"
-    ).join(
+    pairs = blocks.mapInPandas(_pairs, POSTING_ROWS_POS_DDL).join(
         F.broadcast(
             candidates.select(F.col(candidates.columns[0]).alias("doc_id"))
         ),
         "doc_id",
         "left_semi",
     )
+    if tomb_df is not None:
+        # delete set too large for the broadcast array: distributed mask,
+        # same contract as phrase_match (review finding — snippet_spans is
+        # public; its candidates are not guaranteed pre-masked)
+        pairs = pairs.join(tomb_df, "doc_id", "left_anti")
 
     def _best_window(batches):
         """Doc-clustered kernel: window score via prefix sums over sorted
-        hit positions; the trailing-doc carry keeps docs whole across
-        Arrow batches (the _encoder pattern)."""
-        carry: pd.DataFrame | None = None
+        hit positions (doc_complete_batches keeps docs whole)."""
         w_map = b_weights.value
 
         def kernel(pdf: pd.DataFrame):
@@ -176,20 +156,8 @@ def snippet_spans(
                 "snip_score": scores[sel],
             })
 
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            last_doc = pdf["doc_id"].iloc[-1]
-            tail = pdf["doc_id"] == last_doc
-            carry = pdf[tail].reset_index(drop=True)
-            head = pdf[~tail]
-            if not head.empty:
-                yield kernel(head)
-        if carry is not None and not carry.empty:
-            yield kernel(carry)
+        for pdf in doc_complete_batches(batches):
+            yield kernel(pdf)
 
     clustered = pairs.repartition("doc_id").sortWithinPartitions("doc_id")
     return clustered.mapInPandas(_best_window, SPAN_SCHEMA)
@@ -213,14 +181,20 @@ def snippets(
     slice aligns exactly)."""
     from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand
 
+    # k rows, referenced by both the candidate broadcast and the final
+    # join — checkpoint once or the whole WAND scatter runs twice
     top = bm25_topk_wand(spark, index_dir, query_text, vocab, k=k)
+    top = top.localCheckpoint(eager=True)
     spans = snippet_spans(
         spark, index_dir, query_text, vocab, top.select("doc_id"), window
     )
-    # positions are ordinals over the RAW space-split (empty strings from
-    # repeated separators advance positions too — tokens_long semantics),
-    # so the token array must NOT drop empties or the slice misaligns
-    toks = F.split(F.regexp_replace(F.col(text_col), "\n", " "), " ")
+    # positions are ordinals over the NON-EMPTY token stream (tokens_long
+    # Lucene-increment semantics), so the slice array drops empty split
+    # artifacts — separator runs never shift the window
+    toks = F.filter(
+        F.split(F.regexp_replace(F.col(text_col), "\n", " "), " "),
+        lambda x: x != "",
+    )
     snippet = F.array_join(
         F.slice(toks, F.col("snip_start").cast("int") + 1, window), " "
     )

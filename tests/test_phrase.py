@@ -34,6 +34,9 @@ DOCS = [
     (4, "t1\nt2 t9"),              # newline is a separator
     (5, "t3 t4 " * 30 + "t1 t2"),  # long doc, phrase at the end
     (6, "t2"),                     # single token
+    (7, "t1  t2"),                 # DOUBLE space: still adjacent (Lucene
+                                   # position increments skip separators)
+    (8, "t2\n\nt3 t5"),            # blank line: 't2 t3' still adjacent
 ] + [(10 + i, f"t{i % 7} t{(i + 1) % 7} t6 t1 t2") for i in range(40)]
 
 
@@ -74,6 +77,8 @@ def test_tokens_long_positions_match_python_reference(spark, vocab):
     rows = tokens_long(df, vocab, with_positions=True).collect()
     by_doc_term = {(r["doc_id"], r["term_id"]): r for r in rows}
     for doc_id, text in DOCS:
+        # positions = ordinals among NON-EMPTY tokens (separator runs do
+        # not advance)
         toks = [t for t in text.replace("\n", " ").split(" ") if t]
         want: dict[int, list[int]] = {}
         for pos, tok in enumerate(toks):
@@ -99,13 +104,18 @@ def test_phrase_match_vs_bruteforce(spark, vocab, pos_index, phrase):
 
 def test_oov_gap_blocks_adjacency(spark, vocab, pos_index):
     """doc 1 = 't1 zzz t2 t3': the OOV token advances positions, so the
-    phrase 't1 t2' must NOT match there (but 't2 t3' must)."""
+    phrase 't1 t2' must NOT match there (but 't2 t3' must). Separator runs
+    do NOT advance positions: doc 7 ('t1  t2') and doc 8 (blank line
+    before 't3') keep their phrases adjacent (review finding — raw split
+    ordinals broke phrase recall on multi-space extracted text)."""
     m12 = {r["doc_id"] for r in
            phrase_match(spark, pos_index, "t1 t2", vocab).collect()}
     m23 = {r["doc_id"] for r in
            phrase_match(spark, pos_index, "t2 t3", vocab).collect()}
     assert 1 not in m12
     assert 1 in m23
+    assert 7 in m12
+    assert 8 in m23
 
 
 def test_phrase_with_oov_term_matches_nothing(spark, vocab, pos_index):

@@ -17,7 +17,7 @@ from pears_fruit_fly_spark.operators.snippets import snippet_spans, snippets
 DOCS = [
     (0, "t1 t9 t9 t9 t9 t9 t9 t9 t9 t9 t9 t9 t1 t2 t3"),  # best window at 12
     (1, "t2 t4 t4 t4"),
-    (2, "t3  t1 t2"),        # DOUBLE space: empty token advances positions
+    (2, "t3  t1 t2"),        # DOUBLE space: must NOT shift positions
     (3, "t5 t5 t5 t5"),      # no query terms -> no span
     (4, "t1\nt2 t3 t4 " * 5),
     (5, "t9 " * 30 + "t1 t2 t3 " + "t9 " * 30),
@@ -25,7 +25,8 @@ DOCS = [
 
 
 def _toks(text):
-    return text.replace("\n", " ").split(" ")  # KEEP empties (positions!)
+    # positions are ordinals among NON-EMPTY tokens (Lucene increments)
+    return [t for t in text.replace("\n", " ").split(" ") if t]
 
 
 def _oracle_spans(query_terms, weights, window):
@@ -80,8 +81,9 @@ def test_snippet_spans_match_python_oracle(spark, vocab, snip_index):
 
 
 def test_snippets_text_slice_aligns_with_positions(spark, vocab, snip_index):
-    """The extracted snippet must be exactly the window's raw tokens — in
-    particular for doc 2, whose DOUBLE space shifts split ordinals."""
+    """The extracted snippet must be exactly the window's tokens — in
+    particular for doc 2, whose DOUBLE space must NOT shift the window
+    (both sides skip empty split artifacts)."""
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     got = {r["doc_id"]: r for r in snippets(
         spark, snip_index, "t1 t2 t3", vocab, docs, k=6, window=5).collect()}
