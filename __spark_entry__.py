@@ -464,6 +464,32 @@ def q_snippets(spark, sf_dir):
     )
 
 
+MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+MIX_QUOTAS = {"src4": 7, "src5": 100, "src6": 0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source Bernoulli sampling (training-data mixture
+    weighting, operators/sampling.py): keep iff multiplicative-hash
+    uniform(doc_id) < fraction[source]; shuffle-free, append-stable,
+    reproduced EXACTLY by the oracle's identical integer arithmetic."""
+    from pears_fruit_fly_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "source", MIX_FRACTIONS, "doc_id"
+    ).select("doc_id", "source")
+
+
+def q_mixture_take(spark, sf_dir):
+    """Exact per-source quotas: the quota-smallest hash values per stratum
+    (deterministic 'take N docs per domain')."""
+    from pears_fruit_fly_spark.operators.sampling import mixture_take
+
+    return mixture_take(
+        _docs(spark, sf_dir), "source", MIX_QUOTAS, "doc_id"
+    ).select("doc_id", "source")
+
+
 def q_dedup_latest_orders(spark, sf_dir):
     """P7 dedup-latest: newest order per customer (ts desc, key desc)."""
     orders = _read(spark, sf_dir, "orders")
@@ -1230,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_search": q_phrase_search,
         "q_boolean_search": q_boolean_search,
         "q_snippets": q_snippets,
+        "q_stratified_sample": q_stratified_sample,
+        "q_mixture_take": q_mixture_take,
         "q_dedup_latest_orders": q_dedup_latest_orders,
         "q_latest_event_per_user": q_latest_event_per_user,
         "q_exact_dup_groups": q_exact_dup_groups,
@@ -1448,6 +1476,34 @@ SELECT doc_id, score, snip_start, snippet, CAST(rank AS INT) AS rank FROM (
   FROM top JOIN best ON top.doc_id = best.doc_id
   JOIN arr ON top.doc_id = arr.doc_id)
 """,
+        # mixture sampling: the oracle repeats the EXACT integer hash
+        # arithmetic (values < 2^63 throughout), so the sample matches
+        # row-for-row — generated from the same constants in lockstep
+        "q_stratified_sample": (
+            "WITH u AS (SELECT doc_id, source, "
+            "  ((doc_id % 4294967296) * 1327217885 % 4294967296) "
+            "  / 4294967296.0 AS u FROM documents) "
+            "SELECT doc_id, source FROM u WHERE u < CASE source "
+            + " ".join(
+                f"WHEN '{s}' THEN {p!r}"
+                for s, p in sorted(MIX_FRACTIONS.items())
+            )
+            + " ELSE 0.0 END"
+        ),
+        "q_mixture_take": (
+            "WITH u AS (SELECT doc_id, source, "
+            "  ((doc_id % 4294967296) * 1327217885 % 4294967296) "
+            "  / 4294967296.0 AS u FROM documents), "
+            "q AS (SELECT doc_id, source, row_number() OVER ("
+            "  PARTITION BY source ORDER BY u ASC, doc_id ASC) AS rk FROM u "
+            "  WHERE source IN ("
+            + ", ".join(f"'{s}'" for s in sorted(MIX_QUOTAS))
+            + ")) SELECT doc_id, source FROM q WHERE rk <= CASE source "
+            + " ".join(
+                f"WHEN '{s}' THEN {n}" for s, n in sorted(MIX_QUOTAS.items())
+            )
+            + " ELSE 0 END"
+        ),
         # boolean: must-intersection minus must_not, BM25 over must+should
         # with GLOBAL df (the index stats' df — filter does not reweight)
         "q_boolean_search": f"""

@@ -1,0 +1,76 @@
+"""Deterministic mixture sampling (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pears_fruit_fly_spark.operators.sampling import (
+    _MOD,
+    _MULT,
+    hash_uniform,
+    mixture_take,
+    stratified_sample,
+)
+
+
+def _u(key: int, salt: int = 0) -> float:
+    return ((key + salt) % _MOD) * _MULT % _MOD / _MOD
+
+
+def _mk(spark, n=2000):
+    rows = [(i, ["cc", "books", "code", "wiki"][i % 4]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, source string"), rows
+
+
+def test_hash_uniform_matches_python_and_is_uniform(spark):
+    df, rows = _mk(spark)
+    got = {r["doc_id"]: r["u"] for r in df.select(
+        "doc_id", hash_uniform(df.doc_id).alias("u")).collect()}
+    for i, _ in rows:
+        assert abs(got[i] - _u(i)) < 1e-12
+    us = np.array(list(got.values()))
+    assert 0.0 <= us.min() and us.max() < 1.0
+    # equidistribution sanity: each decile holds 10% +- 3%
+    hist, _ = np.histogram(us, bins=10, range=(0, 1))
+    assert (np.abs(hist / len(us) - 0.1) < 0.03).all()
+
+
+def test_stratified_sample_exact_and_append_stable(spark):
+    df, rows = _mk(spark)
+    fr = {"cc": 0.25, "books": 1.0, "code": 0.5}
+    got = {r["doc_id"] for r in
+           stratified_sample(df, "source", fr, "doc_id").collect()}
+    want = {i for i, s in rows if _u(i) < fr.get(s, 0.0)}
+    assert got == want
+    assert not any(s == "wiki" for i, s in rows if i in got)  # default 0.0
+    # append stability: the decision for existing docs never changes
+    df2, _ = _mk(spark, 4000)
+    got2 = {r["doc_id"] for r in
+            stratified_sample(df2, "source", fr, "doc_id").collect()}
+    assert got2 & set(range(2000)) == got
+
+
+def test_stratified_sample_salt_decorrelates(spark):
+    df, _ = _mk(spark)
+    a = {r["doc_id"] for r in stratified_sample(
+        df, "source", {"cc": 0.5}, "doc_id", salt=0).collect()}
+    b = {r["doc_id"] for r in stratified_sample(
+        df, "source", {"cc": 0.5}, "doc_id", salt=7).collect()}
+    assert a != b
+    assert 0.15 < len(a & b) / max(1, len(a)) < 0.85  # ~independent
+
+
+def test_mixture_take_exact_quotas(spark):
+    df, rows = _mk(spark)
+    q = {"cc": 37, "books": 5000, "code": 0}
+    out = mixture_take(df, "source", q, "doc_id").collect()
+    by_src: dict[str, list[int]] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src.get("cc", [])) == 37
+    assert len(by_src.get("books", [])) == 500  # quota > stratum size
+    assert "code" not in by_src and "wiki" not in by_src
+    # exactly the hash-smallest keys per stratum (ties impossible: u injective
+    # on < 2^32 keys with an odd multiplier)
+    cc = sorted((i for i, s in rows if s == "cc"), key=lambda i: (_u(i), i))
+    assert sorted(by_src["cc"]) == sorted(cc[:37])
