@@ -18,6 +18,7 @@ relational BM25 — that IS the rank-identity cross-check through DuckDB.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -367,7 +368,16 @@ def _build_query_index(spark, sf_dir, prefix, store_positions=False):
     from pears_fruit_fly_spark.functions.vocab import Vocab
     from pears_fruit_fly_spark.operators.postings import build_postings
 
-    key = (sf_dir, bool(store_positions))
+    # the key carries the documents file's identity (mtime_ns + size): a
+    # regenerated corpus at the same path must MISS — a bare-path key would
+    # skip build_postings' corpus-fingerprint guard and serve a stale index
+    # (review finding)
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        file_id = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        file_id = None
+    key = (sf_dir, bool(store_positions), file_id)
     hit = _QUERY_INDEX_CACHE.get(key)
     if hit is not None:
         return hit
@@ -513,8 +523,13 @@ def q_pack_sequences(spark, sf_dir):
     identical sequential rule with a DuckDB recursive CTE."""
     from pears_fruit_fly_spark.operators.packing import pack_sequences
 
+    # coalesce BEFORE size: F.size(NULL) is -1 in non-ANSI Spark, which
+    # would poison the next-fit cumsum (pack_sequences now also rejects
+    # negatives outright)
     nt = _docs(spark, sf_dir).select(
-        "doc_id", F.size(tokens_array("text")).cast("long").alias("n_tokens")
+        "doc_id",
+        F.size(F.coalesce(tokens_array("text"), F.array()))
+        .cast("long").alias("n_tokens"),
     )
     return pack_sequences(
         nt, budget=PACK_BUDGET, range_width=PACK_RANGE_WIDTH
@@ -1509,11 +1524,12 @@ SELECT doc_id, score, snip_start, snippet, CAST(rank AS INT) AS rank FROM (
   JOIN arr ON top.doc_id = arr.doc_id)
 """,
         # mixture sampling: the oracle repeats the EXACT integer hash
-        # arithmetic (values < 2^63 throughout), so the sample matches
-        # row-for-row — generated from the same constants in lockstep
+        # arithmetic (two multiply rounds; the zero salt's xor word is 0 so
+        # the xor elides — values < 2^63 throughout), row-for-row identical
         "q_stratified_sample": (
             "WITH u AS (SELECT doc_id, source, "
-            "  ((doc_id % 4294967296) * 1327217885 % 4294967296) "
+            "  (((doc_id % 4294967296) * 1327217885 % 4294967296) "
+            "   * 1327217885 % 4294967296) "
             "  / 4294967296.0 AS u FROM documents) "
             "SELECT doc_id, source FROM u WHERE u < CASE source "
             + " ".join(
@@ -1524,7 +1540,8 @@ SELECT doc_id, score, snip_start, snippet, CAST(rank AS INT) AS rank FROM (
         ),
         "q_mixture_take": (
             "WITH u AS (SELECT doc_id, source, "
-            "  ((doc_id % 4294967296) * 1327217885 % 4294967296) "
+            "  (((doc_id % 4294967296) * 1327217885 % 4294967296) "
+            "   * 1327217885 % 4294967296) "
             "  / 4294967296.0 AS u FROM documents), "
             "q AS (SELECT doc_id, source, row_number() OVER ("
             "  PARTITION BY source ORDER BY u ASC, doc_id ASC) AS rk FROM u "
@@ -1541,8 +1558,8 @@ SELECT doc_id, score, snip_start, snippet, CAST(rank AS INT) AS rank FROM (
         "q_pack_sequences": f"""
 WITH RECURSIVE nt AS (
   SELECT doc_id, doc_id // {PACK_RANGE_WIDTH} AS range_id,
-    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-         x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(coalesce(len(list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '')), 0) AS BIGINT) AS n_tokens,
     row_number() OVER (PARTITION BY doc_id // {PACK_RANGE_WIDTH}
                        ORDER BY doc_id) AS rn
   FROM documents),

@@ -49,6 +49,14 @@ def pack_sequences(
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, ignore_index=True)
         dl = pdf[len_col].to_numpy(np.int64)
+        if dl.size and int(dl.min()) < 0:
+            # a negative length breaks cumsum monotonicity and searchsorted
+            # would return garbage bins silently (review finding — e.g.
+            # F.size(NULL) = -1 in non-ANSI Spark)
+            raise ValueError(
+                f"pack_sequences: negative {len_col} (min {int(dl.min())}) — "
+                "coalesce null token counts to 0 upstream"
+            )
         cum = np.cumsum(dl)
         bins = np.zeros(dl.size, np.int64)
         b, i = 0, 0
@@ -72,8 +80,15 @@ def pack_sequences(
     ranged = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(len_col).cast("long").alias(len_col),
-        (F.col(id_col).cast("long") / F.lit(int(range_width)))
-        .cast("long").alias("range_id"),
+        # exact integer FLOOR division ((x - pmod(x, w)) div w — pmod is
+        # always non-negative, so the quotient floors like Python/DuckDB
+        # `//`): plain `div` truncates toward zero and double `/` + cast
+        # both diverge for negative ids, and doubles lose exactness past
+        # 2^53 (review finding)
+        F.expr(
+            f"CAST((CAST({id_col} AS BIGINT) - pmod(CAST({id_col} AS BIGINT),"
+            f" {int(range_width)})) div {int(range_width)} AS BIGINT)"
+        ).alias("range_id"),
     )
     return ranged.groupBy("range_id").applyInPandas(
         _pack, "doc_id long, range_id long, bin_in_range long, n_tokens long"

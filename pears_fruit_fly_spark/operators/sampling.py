@@ -27,21 +27,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# Multiplicative-hash constant: odd, ~2^30.3 (golden-ratio family), chosen
-# so (key mod 2^32) * A < 2^63 — every step stays EXACT in int64, in Spark
-# and DuckDB alike (no wraparound, no ANSI overflow, no float rounding:
-# 2^32 < 2^53).
+# Multiplicative-hash constants: odd, ~2^30.3 (golden-ratio family), chosen
+# so (value mod 2^32) * A < 2^63 — every step stays EXACT in int64, in
+# Spark and DuckDB alike (no wraparound, no ANSI overflow, no float
+# rounding: 2^32 < 2^53).
 _MULT = 1327217885
+_MULT2 = 1073807359  # second-round mixer (odd)
 _MOD = 1 << 32
+
+
+def _salt_word(salt: int) -> int:
+    """Salt pre-mixed to a full-width word (so salt=1 vs salt=2 differ in
+    high bits too)."""
+    return (int(salt) % _MOD) * _MULT2 % _MOD
 
 
 def hash_uniform(key: Column, salt: int = 0) -> Column:
     """Deterministic uniform in [0, 1) from a NON-NEGATIVE integer key:
-    multiplicative hash ((key + salt) mod 2^32) * A mod 2^32, exact int64
-    arithmetic (cross-engine stable). salt decorrelates independent
-    sampling decisions over the same keys."""
-    k = F.pmod(key.cast("long") + F.lit(int(salt)).cast("long"), F.lit(_MOD))
-    return F.pmod(k * F.lit(_MULT), F.lit(_MOD)).cast("double") / float(_MOD)
+    two multiply rounds with the salt XORed in BETWEEN —
+    ((key·A mod 2^32) xor mix(salt)) · A mod 2^32 — exact int64 arithmetic
+    (cross-engine stable). The XOR between the rounds makes different
+    salts genuine re-hashes; a purely additive salt would only ROTATE the
+    u-space, leaving salted samples ~identical whenever salt·A mod 2^32 is
+    small (review finding: salt=13 overlapped salt=0 by 96.6% at p=0.5)."""
+    k = F.pmod(key.cast("long"), F.lit(_MOD))
+    h1 = F.pmod(k * F.lit(_MULT), F.lit(_MOD))
+    h2 = h1.bitwiseXOR(F.lit(_salt_word(salt)))
+    return F.pmod(h2 * F.lit(_MULT), F.lit(_MOD)).cast("double") / float(_MOD)
 
 
 def stratified_sample(
@@ -80,10 +92,14 @@ def mixture_take(
         ).otherwise(qcol)
     u = hash_uniform(F.col(key_col), salt)
     w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
+    # collision-free temp names: never clobber caller columns
+    qc, rk = "__mixture_q", "__mixture_rk"
+    while qc in df.columns or rk in df.columns:
+        qc, rk = qc + "_", rk + "_"
     return (
-        df.withColumn("_q", qcol)
-        .filter(F.col("_q").isNotNull())
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= F.col("_q"))
-        .drop("_q", "_rk")
+        df.withColumn(qc, qcol)
+        .filter(F.col(qc).isNotNull())
+        .withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= F.col(qc))
+        .drop(qc, rk)
     )

@@ -41,14 +41,37 @@ def test_pack_bins_respect_budget_and_appends(spark):
     packed = pack_sequences(df, budget=100, range_width=128)
     fills = packed.groupBy("range_id", "bin_in_range").sum("n_tokens").collect()
     assert all(r["sum(n_tokens)"] <= 100 for r in fills)  # no oversize here
-    # append stability: adding docs with HIGHER ids never reassigns old ones
-    rows2 = rows + [(int(500 + i), 30) for i in range(100)]
+    # append stability: adding docs with HIGHER ids never reassigns old
+    # ones — including ids 300-383, which EXTEND the partially-filled
+    # range 2 (next-fit's prefix-only decisions are exactly what makes
+    # this hold; a suffix-dependent packer would fail here)
+    rows2 = rows + [(int(300 + i), 30) for i in range(84)]
+    rows2 += [(int(500 + i), 30) for i in range(100)]
     df2 = spark.createDataFrame(rows2, "doc_id long, n_tokens long")
     got1 = {r["doc_id"]: (r["range_id"], r["bin_in_range"])
             for r in packed.collect()}
     got2 = {r["doc_id"]: (r["range_id"], r["bin_in_range"])
             for r in pack_sequences(df2, budget=100, range_width=128).collect()}
     assert {k: got2[k] for k in got1} == got1
+
+
+def test_pack_rejects_negative_lengths(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, 10), (1, -1)], "doc_id long, n_tokens long")
+    with pytest.raises(Exception, match="negative"):
+        pack_sequences(df, budget=100).collect()
+
+
+def test_pack_negative_ids_floor_range(spark):
+    """range_id floors like Python // (and the DuckDB oracle), also for
+    negative ids: -1 // 128 == -1, not 0."""
+    df = spark.createDataFrame(
+        [(-1, 5), (-129, 5), (0, 5)], "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: r["range_id"]
+           for r in pack_sequences(df, budget=100, range_width=128).collect()}
+    assert got == {-1: -1, -129: -2, 0: 0}
 
 
 def test_packing_stats(spark):

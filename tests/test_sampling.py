@@ -7,6 +7,7 @@ import numpy as np
 from pears_fruit_fly_spark.operators.sampling import (
     _MOD,
     _MULT,
+    _salt_word,
     hash_uniform,
     mixture_take,
     stratified_sample,
@@ -14,7 +15,8 @@ from pears_fruit_fly_spark.operators.sampling import (
 
 
 def _u(key: int, salt: int = 0) -> float:
-    return ((key + salt) % _MOD) * _MULT % _MOD / _MOD
+    h1 = (key % _MOD) * _MULT % _MOD
+    return (h1 ^ _salt_word(salt)) * _MULT % _MOD / _MOD
 
 
 def _mk(spark, n=2000):
@@ -51,13 +53,18 @@ def test_stratified_sample_exact_and_append_stable(spark):
 
 
 def test_stratified_sample_salt_decorrelates(spark):
+    """Different salts must behave like independent p=0.5 draws: overlap
+    ~50%, and for MANY salts, not just a lucky one (the additive-salt bug
+    this guards against gave 96.6% overlap at salt=13 — a pure rotation
+    of u-space; the xor-between-rounds hash re-mixes)."""
     df, _ = _mk(spark)
     a = {r["doc_id"] for r in stratified_sample(
         df, "source", {"cc": 0.5}, "doc_id", salt=0).collect()}
-    b = {r["doc_id"] for r in stratified_sample(
-        df, "source", {"cc": 0.5}, "doc_id", salt=7).collect()}
-    assert a != b
-    assert 0.15 < len(a & b) / max(1, len(a)) < 0.85  # ~independent
+    for salt in (1, 7, 13, 1000):
+        b = {r["doc_id"] for r in stratified_sample(
+            df, "source", {"cc": 0.5}, "doc_id", salt=salt).collect()}
+        overlap = len(a & b) / max(1, len(a))
+        assert 0.3 < overlap < 0.7, (salt, overlap)
 
 
 def test_mixture_take_exact_quotas(spark):
