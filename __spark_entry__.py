@@ -513,6 +513,21 @@ def q_mixture_take(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+PMI_MIN_COUNT, PMI_TOP_K = 5, 20
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Collocation extraction (operators/textstats.pmi_collocations):
+    top-k adjacent-token bigrams by pointwise mutual information with a
+    min-count noise guard — the boilerplate/collocation discovery stage of
+    corpus curation. Oracle re-derives PMI from a positional self-join."""
+    from pears_fruit_fly_spark.operators.textstats import pmi_collocations
+
+    return pmi_collocations(
+        _docs(spark, sf_dir), min_count=PMI_MIN_COUNT, k=PMI_TOP_K
+    )
+
+
 PACK_BUDGET, PACK_RANGE_WIDTH = 256, 128
 
 
@@ -1305,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_mixture_take": q_mixture_take,
         "q_pack_sequences": q_pack_sequences,
+        "q_pmi_collocations": q_pmi_collocations,
         "q_dedup_latest_orders": q_dedup_latest_orders,
         "q_latest_event_per_user": q_latest_event_per_user,
         "q_exact_dup_groups": q_exact_dup_groups,
@@ -1553,6 +1569,25 @@ SELECT doc_id, score, snip_start, snippet, CAST(rank AS INT) AS rank FROM (
             )
             + " ELSE 0 END"
         ),
+        # PMI collocations: bigrams via the positional self-join, unigram /
+        # total stats joined back, rank on the 4dp-rounded score
+        "q_pmi_collocations": f"""
+WITH tp AS ({_SQL_TOKS_POS}),
+bg AS (SELECT a.term AS x, b.term AS y FROM tp a
+       JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bgc AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+uni AS (SELECT term, count(*) AS c FROM tp GROUP BY 1),
+tot AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS t FROM bgc),
+scored AS (SELECT x || ' ' || y AS bg, c_xy,
+    round(ln(c_xy * tot.t / (ux.c * uy.c)), 4) AS pmi
+  FROM bgc JOIN uni ux ON bgc.x = ux.term
+  JOIN uni uy ON bgc.y = uy.term CROSS JOIN tot
+  WHERE c_xy >= {PMI_MIN_COUNT})
+SELECT bg, CAST(c_xy AS BIGINT) AS c_xy, pmi, CAST(rank AS INT) AS rank
+FROM (SELECT bg, c_xy, pmi,
+        row_number() OVER (ORDER BY pmi DESC, bg ASC) AS rank FROM scored)
+WHERE rank <= {PMI_TOP_K}
+""",
         # sequence packing: the recursive CTE replays the exact next-fit
         # walk (same budget/range constants, same token count)
         "q_pack_sequences": f"""

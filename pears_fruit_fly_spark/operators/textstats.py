@@ -326,3 +326,65 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.coalesce("top_bigram_share", F.lit(0.0)).alias("top_bigram_share"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(x,y) = ln(c(x,y) * T / (c(x) * c(y))) over adjacent-token bigrams,
+    T = total bigram count; pairs below min_count are dropped (classic PMI
+    noise guard — hapax pairs otherwise dominate). Ranking is on the
+    4dp-rounded score (ties: bigram asc) so independent engines order
+    identically. All counting is plain groupBy algebra; the total rides as
+    a broadcast 1-row aggregate and the unigram joins are left to AQE — at
+    web scale the unigram table is vocab-sized (broadcastable up to a few
+    10^7 terms; shuffle join beyond) while the bigram side shrinks hard at
+    min_count first. No driver collection anywhere.
+
+    Corpus-analysis operator for training-data curation (collocation /
+    boilerplate discovery — "all rights reserved" floats to the top of web
+    corpora); not in the reference (closest analog: its keyword extraction,
+    fruit_fly/hash.py:145-150, which ranks single terms per doc)."""
+    from pears_fruit_fly_spark.operators.dedup import shingles_array, tokens_array
+    from pyspark.sql.window import Window
+
+    bigrams = df.select(F.explode(shingles_array(text_col, 2)).alias("bg"))
+    bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("c_xy"))
+    uni = (
+        df.select(F.explode(tokens_array(text_col)).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c"))
+    )
+    total = bg_counts.agg(F.sum("c_xy").cast("double").alias("t_bigrams"))
+    parts = bg_counts.filter(F.col("c_xy") >= min_count).select(
+        "bg", "c_xy",
+        F.split(F.col("bg"), " ").getItem(0).alias("x"),
+        F.split(F.col("bg"), " ").getItem(1).alias("y"),
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        parts.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bg", "c_xy",
+            F.round(
+                F.log(
+                    F.col("c_xy") * F.col("t_bigrams")
+                    / (F.col("c_x") * F.col("c_y"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("bg"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("bg", F.col("c_xy").cast("long").alias("c_xy"), "pmi",
+                F.col("rank").cast("int").alias("rank"))
+    )

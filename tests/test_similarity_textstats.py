@@ -303,3 +303,37 @@ def test_lang_id_multi_multilingual_and_slice_parity(spark):
         for r in lang_id_multi(df, "id", "text").collect()
     }
     assert got_no_title[12] == "unk"  # title excluded -> no signal
+
+
+def test_pmi_collocations_vs_python_oracle(spark):
+    import math
+    from collections import Counter
+
+    from pears_fruit_fly_spark.operators.textstats import pmi_collocations
+
+    docs = [
+        (0, "new york new york city"),
+        (1, "new york is big and big is new"),
+        (2, "san francisco and new york and san francisco"),
+        (3, "big city big city big city"),
+    ] * 3  # repeat so pairs clear min_count
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _, t in docs:
+        toks = t.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    total = sum(big.values())
+    want = sorted(
+        ((f"{x} {y}", c, round(math.log(c * total / (uni[x] * uni[y])), 4))
+         for (x, y), c in big.items() if c >= 3),
+        key=lambda r: (-r[2], r[0]),
+    )[:10]
+    got = [(r["bg"], r["c_xy"], r["pmi"]) for r in
+           pmi_collocations(df, min_count=3, k=10).collect()]
+    assert got == want
+    # the strongly-bound pair ranks above the promiscuous one
+    names = [g[0] for g in got]
+    assert names.index("san francisco") < names.index("new york")
