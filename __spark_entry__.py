@@ -1323,14 +1323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pmi_collocations": q_pmi_collocations,
         "q_dedup_latest_orders": q_dedup_latest_orders,
         "q_latest_event_per_user": q_latest_event_per_user,
-        "q_exact_dup_groups": q_exact_dup_groups,
-        "q_bigram_counts": q_bigram_counts,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_dup_clusters": q_dup_clusters,
         "q_minhash_rankdict": q_minhash_rankdict,
         "q_simhash_rankdict": q_simhash_rankdict,
         "q_fingerprint": q_fingerprint,
-        "q_embedding_cosine": q_embedding_cosine,
         "q_embedding_topk": q_embedding_topk,
         "q_lang_id": q_lang_id,
         "q_lang_id_multi": q_lang_id_multi,
@@ -1673,18 +1670,6 @@ WHERE rank <= 10
             "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC"
             "  ) AS rn FROM events) WHERE rn = 1"
         ),
-        "q_exact_dup_groups": (
-            "SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_dups, "
-            "min(doc_id) AS min_id, max(doc_id) AS max_id "
-            "FROM documents GROUP BY 1 HAVING count(*) > 1"
-        ),
-        "q_bigram_counts": (
-            "WITH g AS (SELECT unnest(list_transform(range(1, len(toks)), "
-            "  i -> toks[i] || ' ' || toks[i+1])) AS bigram "
-            "FROM (SELECT list_filter(regexp_split_to_array(lower(text), "
-            "  '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)) "
-            "SELECT bigram, count(*) AS cnt FROM g GROUP BY 1"
-        ),
         "q_jaccard_pairs": (
             f"WITH {_SQL_JACCARD_CTE} "
             "SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac WHERE j >= 0.1"
@@ -1738,12 +1723,6 @@ WHERE rank <= 10
             f"SELECT doc_id, CAST(sum(((ranks.rid + 1) * tp.pos) % {FP_MOD}) "
             f"% {FP_MOD} AS BIGINT) AS fingerprint "
             "FROM tp JOIN ranks USING (term) GROUP BY 1"
-        ),
-        "q_embedding_cosine": (
-            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
-            "SELECT vec_id, round(list_cosine_similarity("
-            "  CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 4) AS cosine "
-            "FROM embeddings CROSS JOIN q"
         ),
         "q_embedding_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
@@ -2010,5 +1989,49 @@ WHERE rank <= 10
             "SELECT media_id, kind, n_bytes, "
             + ", ".join(f"round(f{i}, 4) AS f{i}" for i in range(16))
             + f" FROM read_parquet('{HAMMING_STAGE_DIR}/mm_expected/*.parquet')"
+        ),
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Pytest-only queries: correct but redundant with registered entries
+    (the driver's correctness gate caps at 50 rows, so the public
+    ``queries()`` registry is trimmed to exactly 50; these three stay
+    oracle-verified in tests/test_entry_contract.py).
+
+    - q_exact_dup_groups: exact dedup, subsumed by q_exact_dedup_keep +
+      q_dup_clusters.
+    - q_bigram_counts: corpus bigrams, subsumed by q_top_bigrams_per_source
+      and q_pmi_collocations.
+    - q_embedding_cosine: brute-force cosine, called by (and therefore
+      verified through) q_embedding_topk.
+    """
+    return {
+        "q_exact_dup_groups": q_exact_dup_groups,
+        "q_bigram_counts": q_bigram_counts,
+        "q_embedding_cosine": q_embedding_cosine,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for extra_queries() (same contract as oracle_sql())."""
+    return {
+        "q_exact_dup_groups": (
+            "SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_dups, "
+            "min(doc_id) AS min_id, max(doc_id) AS max_id "
+            "FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "q_bigram_counts": (
+            "WITH g AS (SELECT unnest(list_transform(range(1, len(toks)), "
+            "  i -> toks[i] || ' ' || toks[i+1])) AS bigram "
+            "FROM (SELECT list_filter(regexp_split_to_array(lower(text), "
+            "  '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)) "
+            "SELECT bigram, count(*) AS cnt FROM g GROUP BY 1"
+        ),
+        "q_embedding_cosine": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity("
+            "  CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 4) AS cosine "
+            "FROM embeddings CROSS JOIN q"
         ),
     }

@@ -46,18 +46,23 @@ def _rows_to_set(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-ORACLED = sorted(entrymod.oracle_sql().keys())
-ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLED))
+# Union of the driver-facing registry (capped at 50 by the driver) and the
+# pytest-only extras demoted out of the cap window — local coverage stays
+# at the full surface either way.
+ALL_QUERIES = {**entrymod.queries(), **entrymod.extra_queries()}
+ALL_ORACLES = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
+ORACLED = sorted(ALL_ORACLES.keys())
+ROWS_ONLY = sorted(set(ALL_QUERIES) - set(ORACLED))
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, duck, name):
-    qfn = entrymod.queries()[name]
+    qfn = ALL_QUERIES[name]
     sdf = qfn(spark, SF_DIR)
     scols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(entrymod.oracle_sql()[name])
+    res = duck.execute(ALL_ORACLES[name])
     dcols = [d[0].lower() for d in res.description]
     drows = res.fetchall()
 
@@ -73,7 +78,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
+    df = ALL_QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert df.schema.fields
 
