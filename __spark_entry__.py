@@ -1541,7 +1541,7 @@ SELECT doc_id, score, snip_start, snippet, CAST(rank AS INT) AS rank FROM (
         # the xor elides — values < 2^63 throughout), row-for-row identical
         "q_stratified_sample": (
             "WITH u AS (SELECT doc_id, source, "
-            "  (((doc_id % 4294967296) * 1327217885 % 4294967296) "
+            "  (((xor(doc_id, doc_id >> 32) % 4294967296) * 1327217885 % 4294967296) "
             "   * 1327217885 % 4294967296) "
             "  / 4294967296.0 AS u FROM documents) "
             "SELECT doc_id, source FROM u WHERE u < CASE source "
@@ -1553,7 +1553,7 @@ SELECT doc_id, score, snip_start, snippet, CAST(rank AS INT) AS rank FROM (
         ),
         "q_mixture_take": (
             "WITH u AS (SELECT doc_id, source, "
-            "  (((doc_id % 4294967296) * 1327217885 % 4294967296) "
+            "  (((xor(doc_id, doc_id >> 32) % 4294967296) * 1327217885 % 4294967296) "
             "   * 1327217885 % 4294967296) "
             "  / 4294967296.0 AS u FROM documents), "
             "q AS (SELECT doc_id, source, row_number() OVER ("

@@ -494,12 +494,19 @@ def duplicate_clusters(
                 .groupBy("src")
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            propagated = labels.join(neigh, labels.id == neigh.src, "left").select(
-                "id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("nbr_min", F.col("cluster_id")),
-                ).alias("cluster_id"),
+            propagated = (
+                labels.join(neigh, labels.id == neigh.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("nbr_min", F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                # referenced twice below (as the left side AND as parent):
+                # without materialization the neighbour-min join subtree
+                # executes twice per round (ADVICE r3)
+                .localCheckpoint(eager=True)
             )
             # pointer jumping: labels are always node ids, so each node can
             # follow its label's own label (min is monotone — admissible)

@@ -49,8 +49,16 @@ def hash_uniform(key: Column, salt: int = 0) -> Column:
     (cross-engine stable). The XOR between the rounds makes different
     salts genuine re-hashes; a purely additive salt would only ROTATE the
     u-space, leaving salted samples ~identical whenever salt·A mod 2^32 is
-    small (review finding: salt=13 overlapped salt=0 by 96.6% at p=0.5)."""
-    k = F.pmod(key.cast("long"), F.lit(_MOD))
+    small (review finding: salt=13 overlapped salt=0 by 96.6% at p=0.5).
+
+    The high word is folded in first — key xor (key >> 32) — so ids
+    differing by a multiple of 2^32 do NOT alias (ADVICE r3: beyond ~4.3B
+    dense doc ids a bare mod-2^32 reduction made keep/drop decisions
+    perfectly correlated across aliased ids, for every salt). For keys
+    < 2^32 the fold is the identity, so existing samples are unchanged.
+    The DuckDB oracles repeat the same fold (xor(key, key >> 32))."""
+    k64 = key.cast("long")
+    k = F.pmod(k64.bitwiseXOR(F.shiftright(k64, 32)), F.lit(_MOD))
     h1 = F.pmod(k * F.lit(_MULT), F.lit(_MOD))
     h2 = h1.bitwiseXOR(F.lit(_salt_word(salt)))
     return F.pmod(h2 * F.lit(_MULT), F.lit(_MOD)).cast("double") / float(_MOD)

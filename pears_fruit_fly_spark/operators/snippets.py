@@ -133,8 +133,14 @@ def snippet_spans(
             t = pdf["term_id"].to_numpy()[row]
             wt = np.array([w_map[int(x)] for x in pdf["term_id"]])[row]
             # sort hits by (doc, pos); composite key keeps searchsorted
-            # doc-local (positions < 2^32 by the dl contract)
-            key = (d.astype(np.int64) << np.int64(32)) | flat.astype(np.int64)
+            # doc-local. Doc ids may exceed 2^31 (design point: 10^12
+            # dense ids), so the key uses the doc's DENSE RANK within the
+            # batch (< 2^30 rows) instead of the raw id — same doc-local
+            # segmentation, no int64 overflow at any id. Positions stay
+            # < 2^32 (dl contract); the 33-bit shift leaves headroom so
+            # pos + window cannot carry into the rank bits.
+            rank = np.unique(d, return_inverse=True)[1].astype(np.int64)
+            key = (rank << np.int64(33)) | flat.astype(np.int64)
             order = np.argsort(key, kind="stable")
             key, d, flat, wt = key[order], d[order], flat[order], wt[order]
             pref = np.concatenate([[0.0], np.cumsum(wt)])

@@ -381,10 +381,15 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+    # global top-k via orderBy().limit(k) — compiles to
+    # TakeOrderedAndProject (per-partition heaps + k-row driver merge),
+    # NOT a single-partition window funnelling every surviving bigram
+    # through one task (ADVICE r3; same shape phrase.py/bm25.py use).
+    # Rank is attached AFTER the limit: a window over k rows is free.
+    topk = scored.orderBy(F.desc("pmi"), F.asc("bg")).limit(k)
     w = Window.orderBy(F.desc("pmi"), F.asc("bg"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("bg", F.col("c_xy").cast("long").alias("c_xy"), "pmi",
                 F.col("rank").cast("int").alias("rank"))
     )

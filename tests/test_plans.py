@@ -158,3 +158,16 @@ def test_cosine_topk_single_stage_no_wide_shuffle(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+def test_pmi_collocations_topk_is_take_ordered(spark, pages_df):
+    """Global PMI top-k must be TakeOrderedAndProject (per-partition heaps
+    + k-row gather), not a single-partition global window funnelling every
+    surviving bigram through one task (ADVICE r3)."""
+    from pears_fruit_fly_spark.operators.textstats import pmi_collocations
+
+    df = pmi_collocations(pages_df, "text", k=10, min_count=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # no rangepartitioning exchange: the only sort remaining is the k-row
+    # rank window AFTER the limit (SinglePartition over <= k rows is fine)
+    assert "Exchange rangepartitioning" not in plan

@@ -15,7 +15,8 @@ from pears_fruit_fly_spark.operators.sampling import (
 
 
 def _u(key: int, salt: int = 0) -> float:
-    h1 = (key % _MOD) * _MULT % _MOD
+    k = (key ^ (key >> 32)) % _MOD  # high-word fold, mirrored engine-side
+    h1 = k * _MULT % _MOD
     return (h1 ^ _salt_word(salt)) * _MULT % _MOD / _MOD
 
 
@@ -81,3 +82,23 @@ def test_mixture_take_exact_quotas(spark):
     # on < 2^32 keys with an odd multiplier)
     cc = sorted((i for i, s in rows if s == "cc"), key=lambda i: (_u(i), i))
     assert sorted(by_src["cc"]) == sorted(cc[:37])
+
+
+def test_hash_uniform_no_2pow32_aliasing(spark):
+    """Regression (ADVICE r3): ids differing by a multiple of 2^32 must
+    NOT hash identically (the old mod-before-mix reduction aliased them
+    for every salt). The high-word fold is the identity below 2^32, so
+    small-key samples are pinned unchanged."""
+    base = [7, 123456, 2**31 + 5]
+    rows = [(k + (m << 32),) for k in base for m in (0, 1, 2, 977)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    for salt in (0, 13):
+        got = {r["doc_id"]: r["u"] for r in df.select(
+            "doc_id", hash_uniform(df.doc_id, salt).alias("u")).collect()}
+        # python replica agrees at every id, including > 2^32
+        for (i,) in rows:
+            assert abs(got[i] - _u(i, salt)) < 1e-12
+        # aliased ids now de-correlate: all 4 lifts of each base differ
+        for k in base:
+            lifted = {round(got[k + (m << 32)], 12) for m in (0, 1, 2, 977)}
+            assert len(lifted) == 4, (salt, k, lifted)

@@ -104,3 +104,50 @@ def test_snippets_requires_positional_build(spark, vocab, tmp_path):
     cand = spark.createDataFrame([(0,)], "doc_id long")
     with pytest.raises(ValueError, match="store_positions"):
         snippet_spans(spark, d, "t1", vocab, cand).collect()
+
+
+def test_snippet_spans_huge_doc_ids(spark, vocab, tmp_path):
+    """Regression (ADVICE r3): the best-window kernel's composite key was
+    (doc_id << 32) | pos, which overflows int64 at doc_id >= 2^31 and
+    aliases distinct docs at doc_id >= 2^32. Ids straddling both limits —
+    including a pair that collides mod 2^32 — must keep separate windows
+    identical to the small-id result."""
+    big_docs = [
+        (2**31 - 1, DOCS[0][1]),
+        (2**31, DOCS[1][1]),
+        (2**32 - 1, DOCS[4][1]),
+        (2**32, DOCS[5][1]),          # collides with doc 0 mod 2^32
+        (2**33 + 7, DOCS[2][1]),
+    ]
+    d = str(tmp_path / "hugeidx")
+    build_postings(
+        spark, spark.createDataFrame(big_docs, "doc_id long, text string"),
+        vocab, d,
+        cfg=PostingsConfig(num_partitions=4, block_size=8,
+                           store_positions=True),
+    )
+    query = "t1 t2 t3"
+    cand = spark.createDataFrame([(i,) for i, _ in big_docs], "doc_id long")
+    got = {r["doc_id"]: (r["snip_start"], round(r["snip_score"], 6))
+           for r in snippet_spans(spark, d, query, vocab, cand,
+                                  window=5).collect()}
+
+    # oracle over the SAME texts, keyed by the huge ids
+    toks_by_id = {i: _toks(t) for i, t in big_docs}
+    qterms = ("t1", "t2", "t3")
+    dfs = {t: sum(1 for toks in toks_by_id.values() if t in toks)
+           for t in qterms}
+    weights = {t: idf(len(big_docs), dfs[t]) for t in qterms}
+    for doc_id, toks in toks_by_id.items():
+        hits = [(i, weights[t]) for i, t in enumerate(toks) if t in weights]
+        if not hits:
+            assert doc_id not in got
+            continue
+        best = None
+        for p, _ in hits:
+            score = sum(w for q, w in hits if p <= q < p + 5)
+            if best is None or score > best[1] + 1e-12:
+                best = (p, score)
+        assert doc_id in got, doc_id
+        assert got[doc_id][0] == best[0], doc_id
+        assert got[doc_id][1] == pytest.approx(best[1], abs=1e-5)
