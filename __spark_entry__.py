@@ -733,7 +733,7 @@ def q_lang_id_multi(spark, sf_dir):
     """Langdetect-parity language ID (VERDICT r2 #5): reference input slice
     (title + ' ' + text[:1000], cc_process_wet.py:26-33/53 — documents has
     no title so the slice is text[:1000]), unicode-script detection +
-    12-language Latin stopword vote. Oracle re-derives the identical
+    22-language Latin stopword vote. Oracle re-derives the identical
     decision procedure in DuckDB from the same shared script classes and
     stopword tables."""
     from pears_fruit_fly_spark.operators.textstats import lang_id_multi

@@ -84,7 +84,7 @@ def with_detected_lang(
 
     matching the reference's read_doc_wet record shape (url, title, text,
     lang). Dependency-free (textstats.lang_id_multi: unicode-script counts
-    + 12-language stopword vote, Column algebra + one vote aggregation)."""
+    + 22-language stopword vote, Column algebra + one vote aggregation)."""
     from pears_fruit_fly_spark.operators.textstats import lang_id_multi
 
     pred = lang_id_multi(

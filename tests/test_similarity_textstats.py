@@ -265,7 +265,7 @@ def test_lsh_ann_high_recall_on_clustered_data(spark):
 
 def test_lang_id_multi_multilingual_and_slice_parity(spark):
     """Langdetect-parity language ID (VERDICT r2 #5): script detection,
-    12-language Latin vote, and the reference's exact input slice
+    22-language Latin vote, and the reference's exact input slice
     title + ' ' + text[:1000] (cc_process_wet.py:26-33/53)."""
     from pears_fruit_fly_spark.operators.textstats import lang_id_multi
 
@@ -286,6 +286,19 @@ def test_lang_id_multi_multilingual_and_slice_parity(spark):
         (12, "這是標題 這是標題 這是標題 這是標題 這是標題", "123 456 789"),
         # language signal only BEYOND char 1000 -> must be ignored
         (13, None, "zz qq " * 200 + " der und ist nicht ein zu den" * 40),
+        # r4: the 10 new Latin-script languages — each sentence is built
+        # from its own discriminating function words (da/no split on
+        # af/av+et+så+meg; cs/sk on ve+co+jako / vo+čo+ako)
+        (14, None, "det er ikke så godt og han var på vej med de andre af dem der kom af sted"),
+        (15, None, "det er ikke så bra og han var på vei med de andre av dem der kom av sted og så meg"),
+        (16, None, "ja se on niin että hän ei ole mutta kun oli myös niin kuin vain se on"),
+        (17, None, "to je jako by se na ve co už a i z do k po ale že jeho ve co jako"),
+        (18, None, "sa je že vo ako čo aj to by na do k po ale už jeho a s z v sa vo čo ako aj"),
+        (19, None, "az és hogy nem is egy ez de van volt meg ha már csak mint el még azt vagy a az"),
+        (20, None, "i de la el que a en per un una amb els les al és del no més ho com"),
+        (21, None, "je i u na se da su za s od a o koji što ali ili bio kao iz će"),
+        (22, None, "je in na se da so za s od a o ki kaj ali bil kot iz bo pa tudi"),
+        (23, None, "ir yra tai kad su bet kaip iš į jis ji buvo ar nes apie po per prie dar jau"),
     ]
     df = spark.createDataFrame(rows, "id long, title string, text string")
     got = {
@@ -293,7 +306,9 @@ def test_lang_id_multi_multilingual_and_slice_parity(spark):
         for r in lang_id_multi(df, "id", "text", title_col="title").collect()
     }
     want = {0: "en", 1: "de", 2: "ru", 3: "ja", 4: "zh", 5: "ar", 6: "he",
-            7: "pt", 8: "it", 9: "tr", 10: "pl", 11: "unk", 13: "unk"}
+            7: "pt", 8: "it", 9: "tr", 10: "pl", 11: "unk", 13: "unk",
+            14: "da", 15: "no", 16: "fi", 17: "cs", 18: "sk", 19: "hu",
+            20: "ca", 21: "hr", 22: "sl", 23: "lt"}
     for i, lang in want.items():
         assert got[i] == lang, (i, got[i], lang)
     # doc 12: CJK signal lives in the title; text alone is all digits
