@@ -508,6 +508,7 @@ def bm25_topk_wand(
     candidate_df: DataFrame | None = None,
     driver_fast_path_max_df: int | None = None,
     theta_probe: bool | None = None,
+    theta_probe_max_bytes: int = 8 << 20,
     instrument: dict | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the compressed index. Returns (doc_id, score).
@@ -520,6 +521,10 @@ def bm25_topk_wand(
     k (>= 50), where per-range heaps fill slowly and unseeded ranges decode
     many blocks. Applied only on the plain distributed path (no candidates,
     driver-size tombstones); rank-identical by construction and by test.
+    theta_probe_max_bytes caps the probe's driver pull: if the chosen
+    range's compressed payload exceeds it (pathological head-term ranges),
+    seeding is skipped and the scatter runs unseeded — still
+    rank-identical (VERDICT r3 #6).
     instrument, when given, receives a 'decoded_blocks' accumulator whose
     value after materialization counts block decodes.
 
@@ -671,7 +676,10 @@ def bm25_topk_wand(
         and not tomb_distributed
     ):
         meta = blocks.groupBy("range_id").agg(
-            F.sum("n").alias("rows"), F.max("max_impact").alias("mi")
+            F.sum("n").alias("rows"), F.max("max_impact").alias("mi"),
+            F.sum(
+                F.length("doc_gaps") + F.length("tfs") + F.length("dls")
+            ).alias("bytes"),
         ).collect()
         if meta:
             # probe where the top scores most plausibly live: the range with
@@ -684,19 +692,26 @@ def bm25_topk_wand(
                 if eligible
                 else max(meta, key=lambda r: int(r["rows"]))
             )
-            probe_rid = int(pick["range_id"])
-            lo = probe_rid * range_width
-            hi = (probe_rid + 1) * range_width - 1
-            pstats: dict = {}
-            ppdf = blocks.filter(F.col("range_id") == probe_rid).toPandas()
-            probe_rows = _wand_score_range(
-                _make_runs(ppdf, lo, hi, stats=pstats), k, avgdl, k1, b,
-                excluded=tombstones,
-            )
-            decoded_acc.add(int(pstats.get("decoded", 0)))
-            if len(probe_rows) == k:
-                theta0 = probe_rows[-1][1]
-            blocks = blocks.filter(F.col("range_id") != probe_rid)
+            # byte-bound the driver pull (VERDICT r3 #6): the probe is a
+            # toPandas of ONE range's compressed blocks — cheap for real
+            # queries, but a pathological range (huge postings for every
+            # query term) could drag tens of MB through the driver for a
+            # seeding-only optimization. Over budget -> skip seeding; the
+            # scatter runs unseeded, rank-identical by construction.
+            if int(pick["bytes"] or 0) <= theta_probe_max_bytes:
+                probe_rid = int(pick["range_id"])
+                lo = probe_rid * range_width
+                hi = (probe_rid + 1) * range_width - 1
+                pstats: dict = {}
+                ppdf = blocks.filter(F.col("range_id") == probe_rid).toPandas()
+                probe_rows = _wand_score_range(
+                    _make_runs(ppdf, lo, hi, stats=pstats), k, avgdl, k1, b,
+                    excluded=tombstones,
+                )
+                decoded_acc.add(int(pstats.get("decoded", 0)))
+                if len(probe_rows) == k:
+                    theta0 = probe_rows[-1][1]
+                blocks = blocks.filter(F.col("range_id") != probe_rid)
 
     def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:

@@ -332,3 +332,44 @@ def test_theta_probe_seeding_rank_identity_and_fewer_decodes(spark, vocab,
         reductions.append(n_off - n_on)
     # the short-doc queries must show a REAL decode reduction
     assert max(reductions) > 0, reductions
+
+
+def test_theta_probe_byte_budget_fallback(spark, vocab, tmp_path):
+    """VERDICT r3 #6: when the probe range's compressed payload exceeds
+    theta_probe_max_bytes, seeding is skipped (no driver pull) and the
+    unseeded scatter still returns the identical ranking; with a normal
+    budget on the same heterogeneous corpus the seeded run decodes fewer
+    blocks (the budget does not defeat the optimization)."""
+    from pears_fruit_fly_spark.config import PostingsConfig
+    from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand
+    from pears_fruit_fly_spark.operators.postings import build_postings
+
+    docs = [(i, "t1 t2" if i < 300 else "t1 t2 " + "t3 " * 20)
+            for i in range(2000)]
+    d = str(tmp_path / "budgetidx")
+    build_postings(
+        spark, spark.createDataFrame(docs, "doc_id long, text string"),
+        vocab, d,
+        cfg=PostingsConfig(num_partitions=4, block_size=64),
+    )
+    q = "t1 t2"
+    inst_off: dict = {}
+    off = [(r["doc_id"], r["score"]) for r in bm25_topk_wand(
+        spark, d, q, vocab, k=5, n_ranges=6, theta_probe=False,
+        instrument=inst_off).collect()]
+    # forced-tiny budget: every range's payload exceeds 1 byte -> the
+    # fallback path runs (decode count equals the fully unseeded run,
+    # which also proves no probe decodes happened on the driver)
+    inst_tiny: dict = {}
+    tiny = [(r["doc_id"], r["score"]) for r in bm25_topk_wand(
+        spark, d, q, vocab, k=5, n_ranges=6, theta_probe=True,
+        theta_probe_max_bytes=1, instrument=inst_tiny).collect()]
+    assert tiny == off
+    assert inst_tiny["decoded_blocks"].value == inst_off["decoded_blocks"].value
+    # generous budget: seeding proceeds and still cuts decodes
+    inst_on: dict = {}
+    on = [(r["doc_id"], r["score"]) for r in bm25_topk_wand(
+        spark, d, q, vocab, k=5, n_ranges=6, theta_probe=True,
+        theta_probe_max_bytes=8 << 20, instrument=inst_on).collect()]
+    assert on == off
+    assert inst_on["decoded_blocks"].value < inst_off["decoded_blocks"].value
