@@ -52,6 +52,10 @@ class PostingsConfig:
     num_partitions: int = 32     # term partitions (term_bucket count)
     skew_df_threshold: int = 100_000  # df above which a term is salted
     max_docs_per_subpartition: int = 1_000_000  # salt splitting granularity
+    encode_rows_per_task: int = 4_000_000  # encode-task size cap: a bucket
+    # with more staged rows than this splits into hash-shards of whole
+    # (term, salt) runs, so no single encode task holds a monster bucket
+    # (output layout is shard-count independent)
     bucket_batch_size: int | None = None  # buckets encoded per Spark job;
     # None = all pending in one job (fastest); smaller = finer resume
     # granularity (checkpoint manifest rows are always per-bucket)

@@ -11,12 +11,15 @@ mandated by BASELINE.json north_rule. Physical design per SURVEY.md §3.2:
                                   partitions (plans/salt.py)
   stage 2  stage tokens           ONE exchange: repartition by term bucket,
                                   write staging parquet partitioned by bucket
-  stage 3  per-bucket encode      resumable loop over pending buckets (anti-
-                                  join vs manifest): repartition by (term,
-                                  salt) → sortWithinPartitions(term, salt,
-                                  doc_id) [UnsafeExternalSorter spills] →
-                                  mapInPandas block encoder → postings dir
-                                  for that bucket + manifest row
+  stage 3  per-bucket encode      resumable loop over pending buckets: one
+                                  encode task per (bucket, shard) spec; the
+                                  task reads its bucket's staged parquet
+                                  directly with pyarrow in the worker,
+                                  lexsorts (term, salt, doc), emits
+                                  compressed blocks → postings dir for that
+                                  bucket + manifest row. Bulk tokens never
+                                  cross the JVM↔Python boundary (r4 — the
+                                  row feed was the non-scaling leg).
 
 Resume = rerun build_postings with the same index_dir: completed buckets are
 skipped; outputs are byte-identical to an uninterrupted run (tested).
@@ -121,69 +124,89 @@ def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text",
     b_terms = spark.sparkContext.broadcast(list(vocab.terms))
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # pd.Index.get_indexer = one vectorized hash lookup for the whole
-        # batch (C speed) instead of a per-token Python dict probe.
-        from pears_fruit_fly_spark.operators.codec import (
-            encode_position_runs_flat,
-        )
-
         vocab_index = pd.Index(b_terms.value)
-        V = len(vocab_index)
         for pdf in batches:
-            if pdf.empty:
-                continue
-            tok_lists = (
-                pdf[text_col]
-                .fillna("")
-                .str.replace("\n", " ", regex=False)
-                .str.split(" ")
-                .to_numpy()
-            )
-            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
-                               count=len(tok_lists))
-            if lens.sum() == 0:
-                continue
-            flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
-            doc_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
-            ids = vocab_index.get_indexer(flat)  # -1 = OOV (and "" splits)
-            mask = ids >= 0
-            if not mask.any():
-                continue
-            doc_sel = doc_idx[mask]
-            id_sel = ids[mask].astype(np.int64)
-            # dl = in-vocab token count per doc (BM25 dl statistic)
-            dl_per_doc = np.bincount(doc_sel, minlength=len(pdf))
-            # tf per (doc, term) in one pass: composite int64 key
-            key = doc_sel * V + id_sel
-            uniq, counts = np.unique(key, return_counts=True)
-            out_doc_idx = uniq // V
-            out = {
-                "doc_id": pdf["doc_id"].to_numpy()[out_doc_idx],
-                "term_id": (uniq % V).astype(np.int32),
-                "tf": counts.astype(np.int32),
-                "dl": dl_per_doc[out_doc_idx].astype(np.int64),
-            }
-            if with_positions:
-                # position = ordinal among the doc's NON-EMPTY tokens; flat
-                # order is position order, so a stable key sort groups each
-                # (doc, term)'s positions ascending — matching np.unique's
-                # group order exactly. In-vocab tokens are never empty, so
-                # the masked selection always has a defined position.
-                nonempty = flat != ""
-                ne_cum = np.cumsum(nonempty, dtype=np.int64)  # 1-based rank
-                doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-                # lens >= 1 always ('' splits to ['']), so doc_starts[1:]-1
-                # never underflows
-                base = np.repeat(
-                    np.concatenate([[0], ne_cum[doc_starts[1:] - 1]]), lens
-                )
-                pos_all = ne_cum - 1 - base
-                pos_sorted = pos_all[mask][np.argsort(key, kind="stable")]
-                out["pos"] = encode_position_runs_flat(pos_sorted, counts)
-            yield pd.DataFrame(out)
+            out = tokenize_batch_kernel(pdf, vocab_index, text_col,
+                                        with_positions)
+            if out is not None:
+                yield pd.DataFrame(out)
 
     schema = TOKENS_POS_SCHEMA if with_positions else TOKENS_SCHEMA
     return pages.select("doc_id", text_col).mapInPandas(_tok, schema)
+
+
+def tokenize_batch_kernel(
+    pdf: pd.DataFrame,
+    vocab_index: pd.Index,
+    text_col: str = "text",
+    with_positions: bool = False,
+) -> dict | None:
+    """The per-batch tokenize kernel, module-level so the SAME code runs
+    both inside the Spark mapInPandas path (tokens_long) and in the
+    no-Spark multiprocessing control of scripts/scaling_bench.py — the
+    control's point is that any scaling falloff it shows is the VM's
+    per-core kernel ceiling, not the engine, which only holds if the
+    kernel is literally shared.
+
+    pd.Index.get_indexer = one vectorized hash lookup for the whole batch
+    (C speed) instead of a per-token Python dict probe.
+    """
+    from pears_fruit_fly_spark.operators.codec import (
+        encode_position_runs_flat,
+    )
+
+    V = len(vocab_index)
+    if pdf.empty:
+        return None
+    tok_lists = (
+        pdf[text_col]
+        .fillna("")
+        .str.replace("\n", " ", regex=False)
+        .str.split(" ")
+        .to_numpy()
+    )
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    if lens.sum() == 0:
+        return None
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+    doc_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+    ids = vocab_index.get_indexer(flat)  # -1 = OOV (and "" splits)
+    mask = ids >= 0
+    if not mask.any():
+        return None
+    doc_sel = doc_idx[mask]
+    id_sel = ids[mask].astype(np.int64)
+    # dl = in-vocab token count per doc (BM25 dl statistic)
+    dl_per_doc = np.bincount(doc_sel, minlength=len(pdf))
+    # tf per (doc, term) in one pass: composite int64 key
+    key = doc_sel * V + id_sel
+    uniq, counts = np.unique(key, return_counts=True)
+    out_doc_idx = uniq // V
+    out = {
+        "doc_id": pdf["doc_id"].to_numpy()[out_doc_idx],
+        "term_id": (uniq % V).astype(np.int32),
+        "tf": counts.astype(np.int32),
+        "dl": dl_per_doc[out_doc_idx].astype(np.int64),
+    }
+    if with_positions:
+        # position = ordinal among the doc's NON-EMPTY tokens; flat
+        # order is position order, so a stable key sort groups each
+        # (doc, term)'s positions ascending — matching np.unique's
+        # group order exactly. In-vocab tokens are never empty, so
+        # the masked selection always has a defined position.
+        nonempty = flat != ""
+        ne_cum = np.cumsum(nonempty, dtype=np.int64)  # 1-based rank
+        doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        # lens >= 1 always ('' splits to ['']), so doc_starts[1:]-1
+        # never underflows
+        base = np.repeat(
+            np.concatenate([[0], ne_cum[doc_starts[1:] - 1]]), lens
+        )
+        pos_all = ne_cum - 1 - base
+        pos_sorted = pos_all[mask][np.argsort(key, kind="stable")]
+        out["pos"] = encode_position_runs_flat(pos_sorted, counts)
+    return out
 
 
 def tokens_long_jvm(
@@ -242,73 +265,120 @@ def vocab_to_df_minimal(spark: SparkSession, vocab: Vocab) -> DataFrame:
     )
 
 
-def _encoder(avgdl: float, bm25: BM25Config, block_size: int,
-             with_positions: bool = False):
-    """mapInPandas encoder over a partition sorted by (term_id, salt, doc_id).
+def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
+                    avgdl: float, bm25: BM25Config, block_size: int,
+                    with_positions: bool = False):
+    """mapInPandas body over encode-task specs (term_bucket, shard,
+    n_shards): each task reads its bucket's staged parquet DIRECTLY with
+    pyarrow inside the Python worker, applies the salt plan, sorts with
+    one numpy lexsort, and emits compressed block rows (r4).
 
-    Carries the open (term, salt) run across Arrow batch boundaries so block
-    layout is independent of batch size (determinism requirement).
-    with_positions: input rows carry the `pos` binary (per-posting encoded
-    position stream); blocks concatenate the slices untouched.
+    Why the input no longer streams through the JVM: profiling the r3
+    pipeline showed the JVM->Python Arrow feed of staged token rows capped
+    at ~3M rows/s REGARDLESS of core count (pure-JVM exchange: scales;
+    encode kernel: scales; the row feed: flat) — it WAS the whole
+    0.33-efficiency index-build leg in BENCH_SCALING. With bucket-aligned
+    tasks the bulk token bytes never cross the process boundary: Arrow
+    carries only the task specs in (three ints) and the compressed blocks
+    out (~1/30 of the input bytes). Workers read staging from the same
+    shared filesystem the index lives on — exactly what the driver-side
+    scan read before, moved to where the data is consumed.
+
+    Sharding (n_shards > 1) splits oversized buckets by a hash of
+    (term_id, salt), so every (term, salt) run stays whole within one
+    task and the block layout is byte-identical for ANY shard count; each
+    shard re-reads its bucket's parquet (columnar scan, cheap relative to
+    the encode) and keeps only its runs.
     """
+    salt_ids = np.array(sorted(t for t, _ in salt_items), dtype=np.int64)
+    salt_ns = np.array(
+        [n for _, n in sorted(salt_items)], dtype=np.int64
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: dict | None = None  # open run: term, salt, ids/tfs/dls arrays
+        import pyarrow.dataset as pads
 
-        def flush(run) -> pd.DataFrame:
-            pos_bufs = None
-            if with_positions:
-                pos_bufs = np.concatenate(
-                    [np.asarray(p, dtype=object) for p in run["pos"]]
-                )
-            blocks = encode_blocks(
-                np.concatenate(run["ids"]),
-                np.concatenate(run["tfs"]),
-                np.concatenate(run["dls"]),
-                avgdl,
-                bm25.k1,
-                bm25.b,
-                block_size,
-                pos_bufs=pos_bufs,
-            )
-            rows = pd.DataFrame(blocks)
-            rows.insert(0, "salt", np.int32(run["salt"]))
-            rows.insert(0, "term_id", np.int32(run["term"]))
-            return rows[[f.name for f in POSTINGS_SCHEMA.fields]]
+        cols = ["doc_id", "term_id", "tf", "dl"] + (
+            ["pos"] if with_positions else []
+        )
+        field_order = [f.name for f in POSTINGS_SCHEMA.fields]
 
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            term = pdf["term_id"].values
-            salt = pdf["salt"].values
-            # boundaries where (term, salt) changes
-            change = np.flatnonzero((term[1:] != term[:-1]) | (salt[1:] != salt[:-1])) + 1
-            starts = np.concatenate([[0], change])
-            ends = np.concatenate([change, [len(pdf)]])
-            out = []
-            for s, e in zip(starts, ends):
-                t, sa = int(term[s]), int(salt[s])
-                seg = {
-                    "ids": pdf["doc_id"].values[s:e],
-                    "tfs": pdf["tf"].values[s:e],
-                    "dls": pdf["dl"].values[s:e],
-                }
-                if with_positions:
-                    seg["pos"] = pdf["pos"].values[s:e]
-                if carry is not None and carry["term"] == t and carry["salt"] == sa:
-                    for field in seg:
-                        carry[field].append(seg[field])
+        for spec_pdf in batches:
+            for b, shard, n_shards in zip(
+                spec_pdf["term_bucket"], spec_pdf["shard"],
+                spec_pdf["n_shards"]
+            ):
+                path = os.path.join(staging_dir, f"term_bucket={int(b)}")
+                if not os.path.isdir(path):
                     continue
-                if carry is not None:
-                    out.append(flush(carry))
-                carry = {"term": t, "salt": sa}
-                carry.update({field: [v] for field, v in seg.items()})
-            if out:
-                yield pd.concat(out, ignore_index=True)
-        if carry is not None:
-            yield flush(carry)
+                tbl = pads.dataset(path, format="parquet").to_table(
+                    columns=cols
+                )
+                if tbl.num_rows == 0:
+                    continue
+                doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+                term = tbl["term_id"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                tf = tbl["tf"].to_numpy(zero_copy_only=False)
+                dl = tbl["dl"].to_numpy(zero_copy_only=False)
+                pos = (tbl["pos"].to_numpy(zero_copy_only=False)
+                       if with_positions else None)
+                # salt = doc_id % n_salts(term); non-skewed terms -> 1
+                nsal = np.ones(term.size, dtype=np.int64)
+                if salt_ids.size:
+                    ix = np.searchsorted(salt_ids, term)
+                    ix[ix == salt_ids.size] = 0
+                    hit = salt_ids[ix] == term
+                    nsal[hit] = salt_ns[ix[hit]]
+                salt = (doc % nsal).astype(np.int64)
+                if int(n_shards) > 1:
+                    h = (
+                        term.astype(np.uint64)
+                        * np.uint64(0x9E3779B97F4A7C15)
+                    ) ^ (
+                        salt.astype(np.uint64)
+                        * np.uint64(0xBF58476D1CE4E5B9)
+                    )
+                    keep = (h % np.uint64(int(n_shards))) == np.uint64(
+                        int(shard)
+                    )
+                    if not keep.any():
+                        continue
+                    doc, term, tf, dl, salt = (
+                        doc[keep], term[keep], tf[keep], dl[keep],
+                        salt[keep],
+                    )
+                    if pos is not None:
+                        pos = pos[keep]
+                order = np.lexsort((doc, salt, term))
+                doc, term, tf, dl, salt = (
+                    doc[order], term[order], tf[order], dl[order],
+                    salt[order],
+                )
+                if pos is not None:
+                    pos = pos[order]
+                change = np.flatnonzero(
+                    (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+                ) + 1
+                starts = np.concatenate([[0], change])
+                ends = np.concatenate([change, [term.size]])
+                out = []
+                for s, e in zip(starts, ends):
+                    blocks = encode_blocks(
+                        doc[s:e], tf[s:e], dl[s:e], avgdl, bm25.k1,
+                        bm25.b, block_size,
+                        pos_bufs=pos[s:e] if pos is not None else None,
+                    )
+                    rows = pd.DataFrame(blocks)
+                    rows.insert(0, "salt", np.int32(salt[s]))
+                    rows.insert(0, "term_id", np.int32(term[s]))
+                    out.append(rows[field_order])
+                if out:
+                    yield pd.concat(out, ignore_index=True)
 
     return _encode
+
+
 
 
 def _corpus_fingerprint_row(pages_with_ids: DataFrame, text_col: str = "text"):
@@ -509,20 +579,9 @@ def _build_from_tokens(
     # bucket-per-job loop is pure scheduler overhead). Manifest rows stay
     # per-bucket, so resume granularity is the bucket; a batch that dies
     # mid-write is simply redone (dynamic partition overwrite = idempotent).
-    #
-    # Arrow batch size: the session default (512, tuned for ~3KB-text rows
-    # in the signature featurize) is far too small for the tiny token rows
-    # flowing into the encoder — measured ~30% extra Arrow-boundary cost at
-    # 29M rows. Raise it for the encode actions, restore after.
-    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     # on resume, the RECORDED flag governs (a re-run with a different cfg
     # must keep the on-disk layout consistent)
     with_pos = bool(info.get("store_positions", False))
-    encode = _encoder(avgdl, BM25Config(info["k1"], info["b"]),
-                      info["block_size"], with_positions=with_pos)
-    staged = spark.read.schema(
-        STAGED_TOKENS_POS_SCHEMA if with_pos else STAGED_TOKENS_SCHEMA
-    ).parquet(staging)
     term_stats_df = spark.read.parquet(stats_path)
     # bucket inventory + per-bucket input row counts come from term_stats
     # (tiny) — no extra pass over the staged tokens
@@ -532,29 +591,27 @@ def _build_from_tokens(
         .agg(F.sum("df").alias("rows"))
         .collect()
     }
+    # salt plan to the workers as a plain sorted list: skewed terms only
+    # (df > threshold), so it is vocab-of-head-terms sized — the same
+    # thing the old broadcast-join shipped
     salt_plan = build_salt_plan(
         term_stats_df, info["skew_df_threshold"], cfg.max_docs_per_subpartition
     )
+    salt_items = [
+        (int(r["term_id"]), int(r["n_salts"])) for r in salt_plan.collect()
+    ]
+    encode = _bucket_encoder(
+        staging, salt_items, avgdl, BM25Config(info["k1"], info["b"]),
+        info["block_size"], with_positions=with_pos,
+    )
     pending = [b for b in sorted(bucket_rows) if b not in done]
     batch_size = cfg.bucket_batch_size or len(pending) or 1
-    parallelism = spark.sparkContext.defaultParallelism
 
-    # set the override immediately before the try so a failure in the
-    # preceding stats/salt-plan jobs can't leak a 40x batch size into the
-    # rest of the session (review finding)
-    arrow_prev = spark.conf.get(arrow_key, None)
-    spark.conf.set(arrow_key, "20000")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        _encode_pending(
-            spark, pending, batch_size, bucket_rows, staged, salt_plan,
-            encode, parallelism, P, postings_dir, index_dir, stage_s,
-        )
-    finally:
-        if arrow_prev is not None:
-            spark.conf.set(arrow_key, arrow_prev)
-        else:
-            spark.conf.unset(arrow_key)
+    _encode_pending(
+        spark, pending, batch_size, bucket_rows, staging, encode,
+        cfg.encode_rows_per_task, P, postings_dir, index_dir, stage_s,
+    )
     stage_s["encode"] = stage_s.get("encode", 0.0)
     info["build_wall_s"] = time.time() - t0
     info["stage_seconds"] = {k: round(v, 3) for k, v in stage_s.items()}
@@ -566,29 +623,29 @@ def _build_from_tokens(
 
 
 def _encode_pending(
-    spark, pending, batch_size, bucket_rows, staged, salt_plan, encode,
-    parallelism, P, postings_dir, index_dir, stage_s,
+    spark, pending, batch_size, bucket_rows, staging_dir, encode,
+    rows_per_task, P, postings_dir, index_dir, stage_s,
 ) -> None:
-    """Stage-3 body: encode pending buckets in resumable batches."""
+    """Stage-3 body: encode pending buckets in resumable batches.
+
+    Task granularity is (bucket, shard): one spec row per task, each
+    reading its bucket's staged parquet inside the Python worker (see
+    _bucket_encoder). Buckets above rows_per_task split into
+    ceil(rows/rows_per_task) hash-shards so no single task holds a
+    monster bucket; P buckets >> cores keeps every core in >1 wave."""
     for start in range(0, len(pending), batch_size):
         batch = pending[start : start + batch_size]
         tb = time.time()
         rows_in = {b: bucket_rows.get(b, 0) for b in batch}
-        part = (
-            staged.filter(F.col("term_bucket").isin(batch))
-            .join(F.broadcast(salt_plan), "term_id", "left")
-            .withColumn(
-                "salt",
-                F.pmod(F.col("doc_id"), F.coalesce(F.col("n_salts"), F.lit(1)))
-                .cast("int"),
-            )
-            .drop("n_salts")
-        )
-        n_tasks = max(parallelism, sum(rows_in.values()) // 2_000_000 + 1)
+        specs = []
+        for b in batch:
+            n_shards = max(1, -(-rows_in.get(b, 0) // rows_per_task))
+            specs.extend((b, s, n_shards) for s in range(n_shards))
+        spec_df = spark.createDataFrame(
+            specs, "term_bucket int, shard int, n_shards int"
+        ).repartition(len(specs) or 1)
         encoded = (
-            part.repartition(n_tasks, "term_id", "salt")
-            .sortWithinPartitions("term_id", "salt", "doc_id")
-            .mapInPandas(encode, POSTINGS_SCHEMA)
+            spec_df.mapInPandas(encode, POSTINGS_SCHEMA)
             .withColumn(
                 "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
             )

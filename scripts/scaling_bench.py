@@ -108,6 +108,60 @@ spark.stop()
 """
 
 
+_CTL = {}
+
+
+def _ctl_init(vocab_terms):
+    import pandas as pd
+
+    _CTL["index"] = pd.Index(vocab_terms)
+
+
+def _ctl_chunk(args):
+    import pandas as pd
+
+    from pears_fruit_fly_spark.operators.postings import tokenize_batch_kernel
+
+    doc_ids, texts = args
+    pdf = pd.DataFrame({"doc_id": doc_ids, "text": texts})
+    out = tokenize_batch_kernel(pdf, _CTL["index"], "text", False)
+    return 0 if out is None else len(out["term_id"])
+
+
+def tokenize_control(pdf, vocab_terms, procs: int, chunks: int = 256) -> float:
+    """No-Spark control: the EXACT tokenize kernel the staging stage runs
+    (postings.tokenize_batch_kernel, shared code), through a plain
+    multiprocessing Pool at `procs` workers over a fixed chunk layout.
+    Whatever efficiency THIS shows at 8->32 procs is the VM's per-core
+    kernel ceiling; the engine cannot beat its own kernel's hardware
+    scaling, so the staging leg is judged against this number, not 1.0."""
+    import time
+    from multiprocessing import get_context
+
+    n = len(pdf)
+    per = (n + chunks - 1) // chunks
+    import numpy as np
+
+    args = [
+        (
+            np.arange(i * per, i * per + len(chunk), dtype=np.int64),
+            chunk.to_numpy(),
+        )
+        for i in range(chunks)
+        if not (chunk := pdf["text"].iloc[i * per : (i + 1) * per]).empty
+    ]
+    ctx = get_context("fork")
+    with ctx.Pool(procs, initializer=_ctl_init,
+                  initargs=(vocab_terms,)) as pool:
+        pool.map(_ctl_chunk, args[: procs])  # warm
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            pool.map(_ctl_chunk, args)
+            best = min(best, time.time() - t0)
+    return best
+
+
 def run_level(cpus: int, corpus: str) -> dict:
     script = CHILD.format(repo=REPO)
     out = subprocess.run(
@@ -146,6 +200,14 @@ def main() -> None:
             allow_truncated_timestamps=True,
         )
 
+    # no-Spark kernel-ceiling control (same kernel as the staging stage)
+    from pears_fruit_fly_spark.fixtures.webtext import make_vocab_file_lines
+    from pears_fruit_fly_spark.functions.vocab import parse_vocab_lines
+
+    vocab_terms = list(parse_vocab_lines(make_vocab_file_lines(2000)).terms)
+    ctl = {p: tokenize_control(pdf, vocab_terms, p) for p in (8, 32)}
+    eff_ctl = (ctl[8] / ctl[32]) / 4
+
     results = {}
     for cpus in (8, 32):
         r = run_level(cpus, corpus_dir)
@@ -176,6 +238,15 @@ def main() -> None:
         "scaling_efficiency_index": round(eff_idx, 3),
         "scaling_efficiency_fixed_task_probe": round(eff_probe, 3),
         "scaling_efficiency_shuffle_probe": round(eff_shuffle, 3),
+        "tokenize_kernel_control_s": {"procs8": round(ctl[8], 2),
+                                      "procs32": round(ctl[32], 2)},
+        "scaling_efficiency_tokenize_kernel_control": round(eff_ctl, 3),
+        "tokenize_control_note": "the EXACT staging tokenize kernel "
+                                 "(postings.tokenize_batch_kernel, shared "
+                                 "code) through a plain multiprocessing "
+                                 "Pool, no Spark: its 8->32 efficiency is "
+                                 "this VM's per-core kernel ceiling — the "
+                                 "bound the staging leg is judged against",
         "shuffle_probe_note": "one wide exchange of 40M (long,long) rows, "
                               "pure JVM (no Python workers): isolates the "
                               "exchange machinery from the numpy kernels "

@@ -236,3 +236,29 @@ def test_index_version_is_mtime_independent(spark, pages_ids, vocab, tmp_path):
 
     compact_postings(spark, d)
     assert _index_version(d) != v2
+
+
+def test_sharded_encode_identical_index(spark, pages_ids, vocab, index_dir,
+                                        tmp_path):
+    """r4 encode sharding: a forced-tiny encode_rows_per_task splits every
+    bucket into many hash-shard tasks; the resulting index must be
+    byte-identical to the unsharded build (block layout is shard-count
+    independent because shards hold whole (term, salt) runs)."""
+    d2 = str(tmp_path / "sharded")
+    build_postings(
+        spark, pages_ids, vocab, d2,
+        cfg=PostingsConfig(num_partitions=8, skew_df_threshold=50,
+                           max_docs_per_subpartition=40,
+                           encode_rows_per_task=25),
+    )
+
+    def dump(d):
+        rows = read_postings(spark, d).collect()
+        return sorted(
+            (r["term_id"], r["salt"], r["block_id"], r["n"], r["first_doc"],
+             r["last_doc"], bytes(r["doc_gaps"]), bytes(r["tfs"]),
+             bytes(r["dls"]), r["max_tf"], round(r["max_impact"], 12))
+            for r in rows
+        )
+
+    assert dump(d2) == dump(index_dir)
