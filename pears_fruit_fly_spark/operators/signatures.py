@@ -67,27 +67,40 @@ def build_signatures(
     sc = spark.sparkContext
     b_proj = sc.broadcast(projection.astype(np.float32))
     b_weights = sc.broadcast(vocab.weights.astype(np.float32))
-    b_t2i = sc.broadcast(vocab.term_to_id)
+    b_terms = sc.broadcast(list(vocab.terms))
     top_words, wta_percent = cfg.top_words, cfg.wta_percent
 
     def _hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         proj = b_proj.value
         weights = b_weights.value
-        t2i = b_t2i.value
+        # term -> id via Arrow index_in against the terms array: ids ARE
+        # list positions (Vocab.term_to_id = enumerate(terms)), so this is
+        # bit-identical to the old dict map — r4: Arrow split+lookup on
+        # contiguous buffers replaced pandas explode + Series.map, the
+        # same kernel swap profiled 7x in postings.tokenize_batch_kernel
+        # (parity pinned by tests/test_signatures.py vs featurize_batch)
+        vocab_pa = pa.array(b_terms.value, type=pa.string())
         pn_size = proj.shape[1]
         for pdf in batches:
             n = len(pdf)
-            # vectorized tokenize: pandas explode + dict map run in C loops,
-            # ~3x the throughput of a per-doc Python list comprehension while
-            # producing byte-identical counts (parity-tested vs
-            # featurize_batch in tests/test_signatures.py)
-            texts = pdf[text_col].fillna("").reset_index(drop=True)
-            toks = texts.str.replace("\n", " ", regex=False).str.split(" ").explode()
-            toks = toks[toks.notna() & (toks != "")]
-            ids = toks.map(t2i)
-            ok = ids.notna()
-            rows_idx = toks.index.to_numpy()[ok.to_numpy()]
-            id_arr = ids.to_numpy()[ok.to_numpy()].astype(np.int64)
+            texts_pa = pa.array(
+                pdf[text_col].fillna("").astype(str), type=pa.string()
+            )
+            split = pc.split_pattern(
+                pc.replace_substring(texts_pa, "\n", " "), " "
+            )
+            lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(split)
+            ids = pc.index_in(flat, value_set=vocab_pa).fill_null(
+                -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            rows_all = np.repeat(np.arange(n, dtype=np.int64), lens)
+            ok = ids >= 0  # OOV and "" split artifacts both miss the vocab
+            rows_idx = rows_all[ok]
+            id_arr = ids[ok]
             doclen = np.bincount(rows_idx, minlength=n).astype(np.int64)
             counts = (
                 np.bincount(rows_idx * pn_size + id_arr, minlength=n * pn_size)
