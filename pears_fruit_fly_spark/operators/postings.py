@@ -339,12 +339,19 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
                 spec_pdf["term_bucket"], spec_pdf["shard"],
                 spec_pdf["n_shards"]
             ):
-                path = os.path.join(staging_dir, f"term_bucket={int(b)}")
-                if not os.path.isdir(path):
+                # storage-agnostic bucket read: plain join keeps URI
+                # schemes intact (s3://... stays s3://...); pyarrow
+                # resolves the filesystem from the path, so the same task
+                # code reads local staging in tests and object-store
+                # staging on a cluster. A bucket absent from staging
+                # (possible only on a resumed partial run) reads as empty.
+                path = staging_dir.rstrip("/") + f"/term_bucket={int(b)}"
+                try:
+                    tbl = pads.dataset(path, format="parquet").to_table(
+                        columns=cols
+                    )
+                except FileNotFoundError:
                     continue
-                tbl = pads.dataset(path, format="parquet").to_table(
-                    columns=cols
-                )
                 if tbl.num_rows == 0:
                     continue
                 doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
