@@ -267,10 +267,12 @@ def q_bm25_topk(spark, sf_dir):
     scored = _bm25_scores_df(spark, sf_dir).select(
         "doc_id", F.round("score_raw", 4).alias("score")
     )
+    # TakeOrderedAndProject top-k, rank attached AFTER the limit (same
+    # shape as the r4 PMI fix — no full-corpus single-partition window)
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "score", "rank")
     )
 
@@ -431,10 +433,10 @@ def q_phrase_search(spark, sf_dir):
     scored = m.select(
         "doc_id", "phrase_tf", F.round(F.lit(w_idf) * impact, 4).alias("score")
     )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "phrase_tf", "score", "rank")
     )
 
@@ -713,11 +715,9 @@ def q_embedding_cosine(spark, sf_dir):
 def q_embedding_topk(spark, sf_dir):
     """Cosine top-20 (rank on the rounded value; ties by vec_id asc)."""
     scored = q_embedding_cosine(spark, sf_dir)
+    topk = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(20)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-    )
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def q_lang_id(spark, sf_dir):
@@ -876,10 +876,10 @@ def q_top_customers(spark, sf_dir):
         F.count("*").alias("n_orders"),
     )
     joined = spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
+    topk = joined.orderBy(F.desc("total_spend"), F.asc("o_custkey")).limit(10)
     w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("o_custkey", "c_name", "total_spend", "n_orders", "rank")
     )
 
@@ -1288,11 +1288,9 @@ def q_ann_lsh(spark, sf_dir):
         F.round(_cos(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])), 4)
         .alias("cosine"),
     )
+    topk = scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-    )
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------
