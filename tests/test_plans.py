@@ -171,3 +171,17 @@ def test_pmi_collocations_topk_is_take_ordered(spark, pages_df):
     # no rangepartitioning exchange: the only sort remaining is the k-row
     # rank window AFTER the limit (SinglePartition over <= k rows is fine)
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_entry_global_topk_queries_compile_to_take_ordered(spark):
+    """r4: the driver queries that rank a FULL scored input (bm25
+    relational, embedding cosine, customer rollup) must take their top-k
+    via TakeOrderedAndProject, with the rank window running over only
+    the k-row result — never a whole-input single-partition window."""
+    import __spark_entry__ as e
+
+    for name in ("q_bm25_topk", "q_embedding_topk", "q_top_customers"):
+        df = e.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
