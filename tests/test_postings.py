@@ -262,3 +262,55 @@ def test_sharded_encode_identical_index(spark, pages_ids, vocab, index_dir,
         )
 
     assert dump(d2) == dump(index_dir)
+
+
+def test_tokenize_kernel_unicode_property(vocab):
+    """r4 Arrow-compute kernel: parity vs a pure-python reference over
+    adversarial unicode batches (diacritics, CJK, emoji, NULs, lone
+    surrogate-free controls, empty/None texts, separator runs) — the
+    kernel swap (split_pattern/index_in/bincount) must be bit-identical
+    for ANY input, not just the fixtures."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from pears_fruit_fly_spark.operators.postings import tokenize_batch_kernel
+
+    vocab_index = pd.Index(list(vocab.terms))
+    word = st.one_of(
+        st.sampled_from(list(vocab.terms)[:40]),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters=" "
+            ),
+            min_size=0, max_size=6,
+        ),
+    )
+    doc = st.lists(word, min_size=0, max_size=30).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.one_of(doc, st.none()), min_size=1, max_size=8))
+    def check(texts):
+        pdf = pd.DataFrame({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+        })
+        out = tokenize_batch_kernel(pdf, vocab_index, "text", False)
+        got = {}
+        if out is not None:
+            for d, t, tf, dl in zip(out["doc_id"], out["term_id"],
+                                    out["tf"], out["dl"]):
+                got[(int(d), int(t))] = (int(tf), int(dl))
+        want = {}
+        for did, text in enumerate(texts):
+            toks = [w for w in (text or "").replace("\n", " ").split(" ")
+                    if w]
+            ids = [vocab.term_to_id[w] for w in toks
+                   if w in vocab.term_to_id]
+            counts: dict[int, int] = {}
+            for t in ids:
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                want[(did, t)] = (c, len(ids))
+        assert got == want
+
+    check()
