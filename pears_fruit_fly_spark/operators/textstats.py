@@ -91,12 +91,30 @@ STOPWORDS_MULTI: dict[str, list[str]] = {
 # 'ja' is decided by kana presence before this table applies (Japanese text
 # mixes kana with CJK ideographs; Chinese has no kana).
 SCRIPTS: list[tuple[str, str]] = [
+    # kept in LANG-CODE ASC order: the oracle's CASE walks this list, so
+    # list order IS the deterministic tie-break on equal counts (and the
+    # Spark side's sorted-struct pick breaks ties the same way). All
+    # ranges mutually disjoint — the residue pre-strip depends on it.
+    ("am", r"[\x{1200}-\x{137F}]"),          # Ethiopic (r4)
     ("ar", r"[\x{0600}-\x{06FF}]"),          # Arabic
+    ("bn", r"[\x{0980}-\x{09FF}]"),          # Bengali (r4)
     ("el", r"[\x{0370}-\x{03FF}]"),          # Greek
+    ("gu", r"[\x{0A80}-\x{0AFF}]"),          # Gujarati (r4)
     ("he", r"[\x{0590}-\x{05FF}]"),          # Hebrew
     ("hi", r"[\x{0900}-\x{097F}]"),          # Devanagari
+    ("hy", r"[\x{0530}-\x{058F}]"),          # Armenian (r4)
+    ("ka", r"[\x{10A0}-\x{10FF}]"),          # Georgian (r4)
+    ("km", r"[\x{1780}-\x{17FF}]"),          # Khmer (r4)
+    ("kn", r"[\x{0C80}-\x{0CFF}]"),          # Kannada (r4)
     ("ko", r"[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]"),  # Hangul
+    ("lo", r"[\x{0E80}-\x{0EFF}]"),          # Lao (r4)
+    ("ml", r"[\x{0D00}-\x{0D7F}]"),          # Malayalam (r4)
+    ("my", r"[\x{1000}-\x{109F}]"),          # Myanmar (r4)
+    ("pa", r"[\x{0A00}-\x{0A7F}]"),          # Gurmukhi (r4)
     ("ru", r"[\x{0400}-\x{04FF}]"),          # Cyrillic
+    ("si", r"[\x{0D80}-\x{0DFF}]"),          # Sinhala (r4)
+    ("ta", r"[\x{0B80}-\x{0BFF}]"),          # Tamil (r4)
+    ("te", r"[\x{0C00}-\x{0C7F}]"),          # Telugu (r4)
     ("th", r"[\x{0E00}-\x{0E7F}]"),          # Thai
     ("zh", r"[\x{4E00}-\x{9FFF}]"),          # CJK Unified Ideographs
 ]

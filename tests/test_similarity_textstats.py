@@ -299,6 +299,21 @@ def test_lang_id_multi_multilingual_and_slice_parity(spark):
         (21, None, "je i u na se da su za s od a o koji što ali ili bio kao iz će"),
         (22, None, "je in na se da so za s od a o ki kaj ali bil kot iz bo pa tudi"),
         (23, None, "ir yra tai kad su bet kaip iš į jis ji buvo ar nes apie po per prie dar jau"),
+        # r4: 14 more script-detected languages (one fixture per script)
+        (24, None, "আমি বাংলায় লিখছি এবং এটি একটি পরীক্ষা"),
+        (25, None, "இது ஒரு தமிழ் சோதனை வாக்கியம்"),
+        (26, None, "ఇది ఒక తెలుగు పరీక్ష వాక్యం"),
+        (27, None, "ಇದು ಕನ್ನಡ ಪರೀಕ್ಷೆ ವಾಕ್ಯ"),
+        (28, None, "ഇത് ഒരു മലയാളം പരീക്ഷണ വാക്യം"),
+        (29, None, "આ એક ગુજરાતી પરીક્ષણ વાક્ય છે"),
+        (30, None, "ਇਹ ਇੱਕ ਪੰਜਾਬੀ ਟੈਸਟ ਵਾਕ ਹੈ"),
+        (31, None, "මෙය සිංහල පරීක්ෂණ වාක්‍යයකි"),
+        (32, None, "ဤသည်မှာ မြန်မာစာ စမ်းသပ်မှု ဖြစ်သည်"),
+        (33, None, "នេះគឺជាប្រយោគសាកល្បងខ្មែរ"),
+        (34, None, "ນີ້ແມ່ນປະໂຫຍກທົດສອບລາວ"),
+        (35, None, "ეს არის ქართული სატესტო წინადადება"),
+        (36, None, "Սա հայերեն փորձնական նախադասություն է"),
+        (37, None, "ይህ የአማርኛ ሙከራ ዓረፍተ ነገር ነው"),
     ]
     df = spark.createDataFrame(rows, "id long, title string, text string")
     got = {
@@ -308,7 +323,10 @@ def test_lang_id_multi_multilingual_and_slice_parity(spark):
     want = {0: "en", 1: "de", 2: "ru", 3: "ja", 4: "zh", 5: "ar", 6: "he",
             7: "pt", 8: "it", 9: "tr", 10: "pl", 11: "unk", 13: "unk",
             14: "da", 15: "no", 16: "fi", 17: "cs", 18: "sk", 19: "hu",
-            20: "ca", 21: "hr", 22: "sl", 23: "lt"}
+            20: "ca", 21: "hr", 22: "sl", 23: "lt",
+            24: "bn", 25: "ta", 26: "te", 27: "kn", 28: "ml", 29: "gu",
+            30: "pa", 31: "si", 32: "my", 33: "km", 34: "lo", 35: "ka",
+            36: "hy", 37: "am"}
     for i, lang in want.items():
         assert got[i] == lang, (i, got[i], lang)
     # doc 12: CJK signal lives in the title; text alone is all digits
