@@ -52,6 +52,15 @@ class PostingsConfig:
     num_partitions: int = 32     # term partitions (term_bucket count)
     skew_df_threshold: int = 100_000  # df above which a term is salted
     max_docs_per_subpartition: int = 1_000_000  # salt splitting granularity
+    flat_staging_max_docs: int = 10_000  # below this corpus size the
+    # staging write skips the per-bucket directory layout (64-4096 tiny
+    # dirs cost more in commit overhead than they save): tokens land in a
+    # few plain parquet files with term_bucket as a physical column, and
+    # each encode task filters its bucket from the (small) whole staging.
+    # Large builds keep the partitioned layout so tasks read ONLY their
+    # bucket (flat mode re-reads the whole staging once per bucket task,
+    # so it only pays while staging is a few MB — measured breakeven
+    # ~10k web docs). Recorded in build_info so resume keeps the layout.
     encode_rows_per_task: int = 4_000_000  # encode-task size cap: a bucket
     # with more staged rows than this splits into hash-shards of whole
     # (term, salt) runs, so no single encode task holds a monster bucket

@@ -298,7 +298,8 @@ def vocab_to_df_minimal(spark: SparkSession, vocab: Vocab) -> DataFrame:
 
 def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
                     avgdl: float, bm25: BM25Config, block_size: int,
-                    with_positions: bool = False):
+                    with_positions: bool = False,
+                    flat_staging: bool = False):
     """mapInPandas body over encode-task specs (term_bucket, shard,
     n_shards): each task reads its bucket's staged parquet DIRECTLY with
     pyarrow inside the Python worker, applies the salt plan, sorts with
@@ -345,11 +346,25 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
                 # code reads local staging in tests and object-store
                 # staging on a cluster. A bucket absent from staging
                 # (possible only on a resumed partial run) reads as empty.
-                path = staging_dir.rstrip("/") + f"/term_bucket={int(b)}"
                 try:
-                    tbl = pads.dataset(path, format="parquet").to_table(
-                        columns=cols
-                    )
+                    if flat_staging:
+                        # small-corpus layout: whole staging is a few
+                        # plain files with term_bucket as a column —
+                        # filter this task's bucket (pushdown via
+                        # rowgroup stats where available)
+                        import pyarrow.compute as pc_
+                        tbl = pads.dataset(
+                            staging_dir, format="parquet"
+                        ).to_table(
+                            columns=cols,
+                            filter=pc_.field("term_bucket") == int(b),
+                        )
+                    else:
+                        path = (staging_dir.rstrip("/")
+                                + f"/term_bucket={int(b)}")
+                        tbl = pads.dataset(path, format="parquet").to_table(
+                            columns=cols
+                        )
                 except FileNotFoundError:
                     continue
                 if tbl.num_rows == 0:
@@ -549,14 +564,27 @@ def _build_from_tokens(
         bucketed = tokens.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
         )
-        # THE one wide exchange of the build: co-locate each bucket so every
-        # task writes exactly one bucket directory (avoids P^2 small files).
-        (
-            bucketed.repartition(P, "term_bucket")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(staging)
-        )
+        flat_staging = n_docs <= cfg.flat_staging_max_docs
+        if flat_staging:
+            # small corpus/segment: the P-directory layout costs more in
+            # commit overhead than it saves — write a few plain files with
+            # term_bucket as a physical column; encode tasks filter their
+            # bucket from the whole (small) staging (r4)
+            (
+                bucketed.repartition(max(1, min(P, 8)))
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+        else:
+            # THE one wide exchange of the build: co-locate each bucket so
+            # every task writes exactly one bucket directory (avoids P^2
+            # small files).
+            (
+                bucketed.repartition(P, "term_bucket")
+                .write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(staging)
+            )
         stage_s["staging"] = time.time() - ts
         ts = time.time()
 
@@ -597,6 +625,7 @@ def _build_from_tokens(
             "min_doc": int(min_doc) if min_doc is not None else None,
             "max_doc": int(max_doc) if max_doc is not None else None,
             "store_positions": bool(cfg.store_positions),
+            "flat_staging": bool(flat_staging),
         }
         mf.write_build_info(index_dir, info)
     else:
@@ -641,6 +670,9 @@ def _build_from_tokens(
     encode = _bucket_encoder(
         staging, salt_items, avgdl, BM25Config(info["k1"], info["b"]),
         info["block_size"], with_positions=with_pos,
+        # the RECORDED layout governs on resume (a re-run must read the
+        # staging as it was written)
+        flat_staging=bool(info.get("flat_staging", False)),
     )
     pending = [b for b in sorted(bucket_rows) if b not in done]
     batch_size = cfg.bucket_batch_size or len(pending) or 1
