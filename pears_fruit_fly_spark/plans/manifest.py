@@ -47,17 +47,45 @@ def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
 
 
 def completed_partitions(spark: SparkSession, index_dir: str) -> set[int]:
-    m = read_manifest(spark, index_dir)
-    if m is None:
-        return set()
-    return {int(r["partition_key"]) for r in m.select("partition_key").distinct().collect()}
+    """Driver-side pyarrow read (r4): the manifest is KB-sized — a Spark
+    job (scan + distinct + collect) cost ~0.3-0.5 s of pure scheduling on
+    EVERY build/append/resume for data that fits in one footer read. The
+    `spark` arg stays for signature stability (tests monkeypatch here)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = manifest_path(index_dir)
+    done: set[int] = set()
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        try:
+            col = pq.read_table(f, columns=["partition_key"])
+        except Exception:
+            continue  # half-written file from a crashed appender: redo
+        done.update(int(x) for x in col["partition_key"].to_pylist())
+    return done
 
 
 def append_manifest_rows(spark: SparkSession, index_dir: str, rows: list[dict]) -> None:
+    """Driver-side pyarrow append (r4, same rationale as
+    completed_partitions): appending = adding one uniquely-named parquet
+    file to the manifest dir — exactly what Spark's append mode did,
+    minus the job. Readers (spark.read.parquet in read_manifest, the
+    pyarrow loop above) see the union of files either way."""
     if not rows:
         return
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     pdf = pd.DataFrame(rows, columns=MANIFEST_COLUMNS)
-    spark.createDataFrame(pdf).write.mode("append").parquet(manifest_path(index_dir))
+    path = manifest_path(index_dir)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"),
+    )
 
 
 def manifest_row(
