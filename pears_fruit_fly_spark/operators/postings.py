@@ -553,6 +553,7 @@ def _build_from_tokens(
 
     done = mf.completed_partitions(spark, index_dir)
     stage_s: dict[str, float] = {}
+    bucket_rows_cache: dict[int, int] | None = None  # set on fresh builds
     if not os.path.exists(os.path.join(index_dir, "_build_info.json")):
         # ---- stage 0-1: ONE tokenize pass -> staged tokens ----
         # Tokenization is the expensive scan; everything downstream
@@ -604,9 +605,16 @@ def _build_from_tokens(
         term_stats.write.mode("overwrite").parquet(stats_path)
         term_stats = spark.read.parquet(stats_path)
 
-        total_tokens = int(
-            term_stats.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 0
-        )
+        # ONE collect serves total_tokens AND the stage-3 bucket inventory
+        # (the per-bucket agg is P rows; summing it driver-side replaces a
+        # second scheduling round over the same tiny stats table)
+        _bucket_stats = term_stats.groupBy("term_bucket").agg(
+            F.sum("df").alias("rows"), F.sum("cf").alias("cf")
+        ).collect()
+        bucket_rows_cache = {
+            int(r["term_bucket"]): int(r["rows"]) for r in _bucket_stats
+        }
+        total_tokens = int(sum(int(r["cf"] or 0) for r in _bucket_stats))
         # avgdl floor guards the BM25 impact divisor for empty/degenerate
         # corpora (0-token builds produce an empty but valid index)
         avgdl = max(1e-9, total_tokens / max(1, n_docs))
@@ -651,8 +659,8 @@ def _build_from_tokens(
     with_pos = bool(info.get("store_positions", False))
     term_stats_df = spark.read.parquet(stats_path)
     # bucket inventory + per-bucket input row counts come from term_stats
-    # (tiny) — no extra pass over the staged tokens
-    bucket_rows = {
+    # (tiny) — fresh builds reuse the stage-2 collect; resume recomputes
+    bucket_rows = bucket_rows_cache if bucket_rows_cache is not None else {
         int(r["term_bucket"]): int(r["rows"])
         for r in term_stats_df.groupBy("term_bucket")
         .agg(F.sum("df").alias("rows"))
