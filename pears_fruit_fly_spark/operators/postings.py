@@ -136,8 +136,11 @@ def tokens_long(pages: DataFrame, vocab: Vocab, text_col: str = "text",
 
 
 # one-entry cache: the vocab Index -> its Arrow array (workers hit this
-# once per batch; rebuilding a large vocab array per batch would dominate)
-_VOCAB_PA_CACHE: dict[int, object] = {}
+# once per batch; rebuilding a large vocab array per batch would dominate).
+# The cached value holds a strong reference to the Index itself: keying by
+# id() alone would alias a DIFFERENT vocab allocated at a recycled address
+# after the original was garbage-collected.
+_VOCAB_PA_CACHE: dict[int, tuple[object, object]] = {}
 
 
 def tokenize_batch_kernel(
@@ -175,11 +178,13 @@ def tokenize_batch_kernel(
     # vocab as an Arrow array, cached per vocab object (workers reuse the
     # same Index across every batch of the stage)
     vkey = id(vocab_index)
-    cached = _VOCAB_PA_CACHE.get(vkey)
-    if cached is None:
+    entry = _VOCAB_PA_CACHE.get(vkey)
+    if entry is None or entry[0] is not vocab_index:
         cached = pa.array(vocab_index.tolist(), type=pa.string())
         _VOCAB_PA_CACHE.clear()  # hold one vocab at a time
-        _VOCAB_PA_CACHE[vkey] = cached
+        _VOCAB_PA_CACHE[vkey] = (vocab_index, cached)
+    else:
+        cached = entry[1]
     texts = pa.array(pdf[text_col].fillna("").astype(str),
                      type=pa.string())
     split = pc.split_pattern(
