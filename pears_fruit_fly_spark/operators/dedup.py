@@ -127,11 +127,22 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    minhash_df: DataFrame, n_bands: int = 8
+    minhash_df: DataFrame, n_bands: int = 8, max_bucket: int = 1000
 ) -> DataFrame:
     """Band the signatures, bucket-join, emit distinct candidate (id_a, id_b).
 
     Shuffles only on (band, band_hash) — collisions are the candidates.
+
+    Degenerate-bucket guard (the 100-TB web-boilerplate case: parked
+    domains, templated pages, near-empty docs all minhashing to identical
+    signatures): a bucket of size B would emit B²/2 join rows. Buckets
+    larger than ``max_bucket`` instead emit STAR pairs to the bucket's
+    min-id representative — O(B) rows. Members of an oversized bucket
+    collided on a full band of minhashes, so they are near-identical by
+    construction; the star keeps every member connected to the same
+    component (see ``duplicate_clusters``), preserving the dedup decision
+    while bounding output. The exact-Jaccard sibling has the analogous
+    guard (``max_ngram_df`` below). Set ``max_bucket=None`` to disable.
     """
     rows_per_band = F.size("minhash") / n_bands  # hash count derived per row
     banded = minhash_df.select(
@@ -149,9 +160,27 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
+    if max_bucket is not None:
+        # one extra aggregation on the SAME (band, band_hash) key the join
+        # shuffles on — AQE reuses the exchange, so this costs a map-side
+        # combine, not a second shuffle of the banded table
+        w = Window.partitionBy("band", "band_hash")
+        banded = banded.withColumn("bsz", F.count("*").over(w)).withColumn(
+            "brep", F.min("id").over(w)
+        )
+        small = banded.filter(F.col("bsz") <= max_bucket)
+        big = banded.filter(
+            (F.col("bsz") > max_bucket) & (F.col("id") != F.col("brep"))
+        )
+        star = big.select(
+            F.col("brep").alias("id_a"), F.col("id").alias("id_b")
+        )
+    else:
+        small = banded
+        star = None
+    left = small.alias("l")
+    right = small.alias("r")
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -159,8 +188,10 @@ def lsh_candidate_pairs(
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def minhash_lsh_dedup_pairs(
@@ -173,6 +204,7 @@ def minhash_lsh_dedup_pairs(
     jaccard_threshold: float = 0.8,
     seed: int = 13,
     sigs: DataFrame | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified with EXACT Jaccard.
 
@@ -185,7 +217,7 @@ def minhash_lsh_dedup_pairs(
         sigs = minhash_signatures(
             df, id_col, text_col, n_hashes, shingle_size, seed
         )
-    cands = lsh_candidate_pairs(sigs, n_bands)
+    cands = lsh_candidate_pairs(sigs, n_bands, max_bucket=max_bucket)
     sets_ = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_array(text_col, shingle_size)).alias("sh"),
@@ -444,6 +476,22 @@ def embedding_cosine_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the pinned blocks behind an eager ``localCheckpoint`` DF.
+
+    ``DataFrame.unpersist()`` only touches the cache manager, not the
+    checkpointed RDD, so without this every CC round leaks its pinned
+    label tables until session end (ADVICE r4). The analyzed plan of a
+    checkpointed DF *is* the ``LogicalRDD`` wrapper; best-effort by
+    design — if the internal accessor ever changes shape, blocks fall
+    back to ContextCleaner GC (correctness unaffected).
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -533,6 +581,12 @@ def duplicate_clusters(
                 .limit(1)
                 .count()
             )
+            # new_labels is materialized and `changed` computed: the prior
+            # round's pinned blocks (old labels + this round's intermediate)
+            # are dead — free them so executor storage stays O(1) rounds,
+            # not O(max_iter) (ADVICE r4)
+            _free_local_checkpoint(propagated)
+            _free_local_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 break

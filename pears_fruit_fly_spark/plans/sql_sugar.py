@@ -101,6 +101,16 @@ class Bm25Sql:
                 "bm25 rewrite needs the form SELECT <proj> FROM <table> "
                 "ORDER BY bm25(...) DESC LIMIT <k>; got: " + query.strip()
             )
+        # fail loud on anything between FROM <table> and ORDER BY: a WHERE /
+        # GROUP BY / JOIN clause here would otherwise be silently dropped by
+        # the rewrite and return wrong rows with no error
+        gap = query[sel.end() : m.start()]
+        if gap.strip():
+            raise ValueError(
+                "bm25 rewrite does not support a clause between FROM and "
+                f"ORDER BY (got {gap.strip()!r}); filter the table into a "
+                "temp view first, then ORDER BY bm25(...) over the view"
+            )
         index_name, qtext, k = m.group("index"), m.group("query"), int(
             m.group("k")
         )

@@ -209,3 +209,43 @@ def test_duplicate_clusters_long_chain_converges(spark):
            for r in duplicate_clusters(chain).collect()}
     assert set(got.values()) == {30}
     assert len(got) == 61
+
+
+def test_lsh_bucket_cap_boilerplate(spark):
+    """Adversarial web-boilerplate fixture (VERDICT r4 #1): 10k docs with
+    IDENTICAL minhash signatures (parked domains / templated pages) land in
+    one bucket per band. Uncapped, the band join emits |bucket|^2/2 rows;
+    with the cap each oversized bucket emits O(bucket) star pairs anchored
+    at the min-id representative, preserving connectivity for
+    duplicate_clusters."""
+    n = 10_000
+    sig = F.array(*[F.lit(7 + j) for j in range(32)]).cast("array<bigint>")
+    boiler = spark.range(n).select("id", sig.alias("minhash"))
+    pairs = lsh_candidate_pairs(boiler, n_bands=8, max_bucket=100)
+    assert pairs.count() == n - 1           # star, not n*(n-1)/2 = 50M
+    assert pairs.filter(F.col("id_a") != 0).count() == 0  # anchored at min id
+    # connectivity preserved: one component under the cluster operator
+    from pears_fruit_fly_spark.operators.dedup import duplicate_clusters
+
+    labels = duplicate_clusters(pairs.limit(500))
+    assert labels.select("cluster_id").distinct().count() == 1
+
+
+def test_lsh_bucket_cap_small_buckets_unaffected(spark, docs):
+    """Buckets at-or-under the cap keep full pairwise candidates: the real
+    corpus fixture produces identical results capped vs uncapped."""
+    sigs = minhash_signatures(docs, "id", "text")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, 8, max_bucket=10).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, 8, max_bucket=None).collect()
+    }
+    assert capped == uncapped  # no bucket exceeds 10 docs in a 7-doc corpus
+    # and the uncapped quadratic shape is real: a 60-row identical-sig
+    # bucket yields exactly 60*59/2 pairs without the guard
+    sig = F.array(*[F.lit(3 + j) for j in range(32)]).cast("array<bigint>")
+    b60 = spark.range(60).select("id", sig.alias("minhash"))
+    assert lsh_candidate_pairs(b60, 8, max_bucket=None).count() == 60 * 59 // 2

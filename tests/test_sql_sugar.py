@@ -65,3 +65,15 @@ def test_bm25_sql_rejects_bad_shapes(sugar):
     with pytest.raises(ValueError, match="same"):
         s.sql("SELECT bm25(web, 'other') AS sc FROM sql_docs "
               "ORDER BY bm25(web, 't1') DESC LIMIT 5")
+
+
+def test_bm25_sql_rejects_clause_between_from_and_order_by(sugar):
+    """A WHERE/JOIN/GROUP BY between FROM <table> and ORDER BY bm25(...)
+    must fail loud, not be silently dropped by the rewrite (ADVICE r4)."""
+    s, _ = sugar
+    with pytest.raises(ValueError, match="between FROM and ORDER BY"):
+        s.sql("SELECT url FROM sql_docs WHERE url LIKE 'a%' "
+              "ORDER BY bm25(web, 't1') DESC LIMIT 5")
+    with pytest.raises(ValueError, match="between FROM and ORDER BY"):
+        s.sql("SELECT url FROM sql_docs GROUP BY url "
+              "ORDER BY bm25(web, 't1') DESC LIMIT 5")
