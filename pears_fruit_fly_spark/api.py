@@ -149,8 +149,10 @@ class SearchEngine:
         clean = self._piece_encode_pages(dedup_latest(pages), text_col)
         ids = assign_doc_ids(clean)
         live = cl.resolve(self.index_dir)
+        from pears_fruit_fly_spark.plans import fsio
+
         info_path = os.path.join(live, "_build_info.json")
-        if os.path.exists(info_path):
+        if fsio.exists(info_path):
             recorded = read_build_info(live).get("corpus_fingerprint")
             fp = corpus_fingerprint(clean.join(ids, "url"), text_col)
             if recorded is not None and recorded != fp:

@@ -74,6 +74,15 @@ class PostingsConfig:
     # only path for SentencePiece tokenization. True = all-JVM explode +
     # broadcast vocab join (one doc_id exchange before the bucket one);
     # use on clusters where Python workers are scarce.
+    staging_filesystem: object | None = None  # optional picklable
+    # pyarrow.fs.FileSystem for the worker-side staged-bucket reads of
+    # the encode stage (operators/postings._bucket_encoder). On a real
+    # cluster, object-store credentials often live in Hadoop/Spark conf
+    # that pyarrow's URI resolution cannot see (e.g. assumed-role S3A
+    # settings) — inject an S3FileSystem / PyFileSystem / SubTreeFileSystem
+    # here and every bucket read resolves through it (scheme prefix is
+    # stripped from paths before they are handed over). None (default):
+    # pyarrow infers the filesystem from the staging path itself.
     store_positions: bool = False  # True = record token positions per
     # posting (the Lucene .pos analog; enables phrase queries,
     # operators/phrase.py). Positions are delta+varbyte encoded in the

@@ -78,6 +78,7 @@ def _index_version(index_dir: str):
         list_segments,
     )
     from pears_fruit_fly_spark.plans import commitlog as _cl
+    from pears_fruit_fly_spark.plans import fsio
 
     live = _cl.resolve(index_dir)
     paths = [live] + list_segments(index_dir)
@@ -85,14 +86,13 @@ def _index_version(index_dir: str):
     for p in paths:
         info_path = os.path.join(p, "_build_info.json")
         try:
-            with open(info_path) as f:
-                bid = json.load(f).get("build_id")
+            bid = json.loads(fsio.read_text(info_path)).get("build_id")
         except (OSError, ValueError):
             bid = None
         version.append(bid if bid is not None else os.path.getmtime(info_path))
     tomb = os.path.join(live, TOMBSTONES_DIRNAME)
-    if os.path.isdir(tomb):
-        version.append(tuple(sorted(os.listdir(tomb))))
+    if fsio.isdir(tomb):
+        version.append(tuple(sorted(fsio.listdir(tomb))))
     return tuple(version)
 
 

@@ -54,6 +54,7 @@ from pears_fruit_fly_spark.config import BM25Config, PostingsConfig
 from pears_fruit_fly_spark.functions.vocab import Vocab
 from pears_fruit_fly_spark.operators.codec import encode_blocks
 from pears_fruit_fly_spark.plans import commitlog as cl
+from pears_fruit_fly_spark.plans import fsio
 from pears_fruit_fly_spark.plans import manifest as mf
 from pears_fruit_fly_spark.plans.salt import build_salt_plan
 
@@ -209,8 +210,12 @@ def tokenize_batch_kernel(
     # tf per (doc, term) in one pass: composite int64 key. Counting via
     # bincount (O(n + batch_docs*V)) when the counter table is small
     # enough; np.unique's sort only as the huge-vocab fallback.
+    # counter-table cap 1<<24 = 128 MiB of int64 per batch; on a 32-core
+    # executor every concurrent Python worker allocates one, so the old
+    # 1<<26 (512 MiB each) was a multi-GiB transient spike (ADVICE r4) —
+    # np.unique is only modestly slower at the crossover size
     key = doc_sel * V + id_sel
-    if len(pdf) * V <= (1 << 26):
+    if len(pdf) * V <= (1 << 24):
         cnt = np.bincount(key, minlength=len(pdf) * V)
         uniq = np.flatnonzero(cnt)
         counts = cnt[uniq]
@@ -304,7 +309,8 @@ def vocab_to_df_minimal(spark: SparkSession, vocab: Vocab) -> DataFrame:
 def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
                     avgdl: float, bm25: BM25Config, block_size: int,
                     with_positions: bool = False,
-                    flat_staging: bool = False):
+                    flat_staging: bool = False,
+                    filesystem=None):
     """mapInPandas body over encode-task specs (term_bucket, shard,
     n_shards): each task reads its bucket's staged parquet DIRECTLY with
     pyarrow inside the Python worker, applies the salt plan, sorts with
@@ -326,6 +332,20 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
     task and the block layout is byte-identical for ANY shard count; each
     shard re-reads its bucket's parquet (columnar scan, cheap relative to
     the encode) and keeps only its runs.
+
+    ``filesystem`` (r5): optional picklable ``pyarrow.fs.FileSystem``
+    (e.g. an S3FileSystem carrying assumed-role credentials, a
+    SubTreeFileSystem, or a PyFileSystem wrapping a custom handler) used
+    for the worker-side staged-bucket reads. Real clusters often hold
+    object-store credentials in Hadoop/Spark conf that pyarrow's
+    from-URI resolution cannot see — this is the injection point. None
+    (default) keeps pyarrow's own path→filesystem inference. Paths are
+    handed to the filesystem verbatim minus any ``scheme://`` prefix.
+
+    Memory: buckets stream through ``dataset.scanner().to_batches()``
+    with the shard keep-mask applied per batch, so a task's peak is its
+    KEPT rows plus one Arrow batch — not the whole bucket times
+    n_shards concurrent readers (ADVICE r4).
     """
     salt_ids = np.array(sorted(t for t, _ in salt_items), dtype=np.int64)
     salt_ns = np.array(
@@ -340,16 +360,24 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
         )
         field_order = [f.name for f in POSTINGS_SCHEMA.fields]
 
+        def _fs_path(p: str) -> str:
+            # with an injected filesystem, paths are handed to it verbatim
+            # minus the scheme prefix (an S3FileSystem wants bucket/key,
+            # not s3://bucket/key); without one, pyarrow resolves the
+            # filesystem from the URI itself
+            if filesystem is None:
+                return p
+            i = p.find("://")
+            return p[i + 3:] if i > 0 else p
+
         for spec_pdf in batches:
             for b, shard, n_shards in zip(
                 spec_pdf["term_bucket"], spec_pdf["shard"],
                 spec_pdf["n_shards"]
             ):
-                # storage-agnostic bucket read: plain join keeps URI
-                # schemes intact (s3://... stays s3://...); pyarrow
-                # resolves the filesystem from the path, so the same task
-                # code reads local staging in tests and object-store
-                # staging on a cluster. A bucket absent from staging
+                # storage-agnostic bucket read: URI schemes stay intact
+                # (s3://... stays s3://...) unless an explicit filesystem
+                # carries the credentials. A bucket absent from staging
                 # (possible only on a resumed partial run) reads as empty.
                 try:
                     if flat_staging:
@@ -358,56 +386,78 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
                         # filter this task's bucket (pushdown via
                         # rowgroup stats where available)
                         import pyarrow.compute as pc_
-                        tbl = pads.dataset(
-                            staging_dir, format="parquet"
-                        ).to_table(
+                        scan = pads.dataset(
+                            _fs_path(staging_dir), format="parquet",
+                            filesystem=filesystem,
+                        ).scanner(
                             columns=cols,
                             filter=pc_.field("term_bucket") == int(b),
                         )
                     else:
                         path = (staging_dir.rstrip("/")
                                 + f"/term_bucket={int(b)}")
-                        tbl = pads.dataset(path, format="parquet").to_table(
-                            columns=cols
-                        )
+                        scan = pads.dataset(
+                            _fs_path(path), format="parquet",
+                            filesystem=filesystem,
+                        ).scanner(columns=cols)
                 except FileNotFoundError:
                     continue
-                if tbl.num_rows == 0:
-                    continue
-                doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
-                term = tbl["term_id"].to_numpy(
-                    zero_copy_only=False).astype(np.int64)
-                tf = tbl["tf"].to_numpy(zero_copy_only=False)
-                dl = tbl["dl"].to_numpy(zero_copy_only=False)
-                pos = (tbl["pos"].to_numpy(zero_copy_only=False)
-                       if with_positions else None)
-                # salt = doc_id % n_salts(term); non-skewed terms -> 1
-                nsal = np.ones(term.size, dtype=np.int64)
-                if salt_ids.size:
-                    ix = np.searchsorted(salt_ids, term)
-                    ix[ix == salt_ids.size] = 0
-                    hit = salt_ids[ix] == term
-                    nsal[hit] = salt_ns[ix[hit]]
-                salt = (doc % nsal).astype(np.int64)
-                if int(n_shards) > 1:
-                    h = (
-                        term.astype(np.uint64)
-                        * np.uint64(0x9E3779B97F4A7C15)
-                    ) ^ (
-                        salt.astype(np.uint64)
-                        * np.uint64(0xBF58476D1CE4E5B9)
-                    )
-                    keep = (h % np.uint64(int(n_shards))) == np.uint64(
-                        int(shard)
-                    )
-                    if not keep.any():
+                # stream the bucket batch-by-batch, applying salt + shard
+                # keep-mask per batch: peak task memory = kept rows + one
+                # Arrow batch, regardless of bucket size or shard count
+                kept: dict[str, list[np.ndarray]] = {c: [] for c in cols}
+                kept["salt"] = []
+                for rb in scan.to_batches():
+                    if rb.num_rows == 0:
                         continue
-                    doc, term, tf, dl, salt = (
-                        doc[keep], term[keep], tf[keep], dl[keep],
-                        salt[keep],
-                    )
-                    if pos is not None:
-                        pos = pos[keep]
+                    doc_b = rb.column("doc_id").to_numpy(
+                        zero_copy_only=False)
+                    term_b = rb.column("term_id").to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    # salt = doc_id % n_salts(term); non-skewed terms -> 1
+                    nsal = np.ones(term_b.size, dtype=np.int64)
+                    if salt_ids.size:
+                        ix = np.searchsorted(salt_ids, term_b)
+                        ix[ix == salt_ids.size] = 0
+                        hit = salt_ids[ix] == term_b
+                        nsal[hit] = salt_ns[ix[hit]]
+                    salt_b = (doc_b % nsal).astype(np.int64)
+                    if int(n_shards) > 1:
+                        h = (
+                            term_b.astype(np.uint64)
+                            * np.uint64(0x9E3779B97F4A7C15)
+                        ) ^ (
+                            salt_b.astype(np.uint64)
+                            * np.uint64(0xBF58476D1CE4E5B9)
+                        )
+                        keep = (
+                            h % np.uint64(int(n_shards))
+                        ) == np.uint64(int(shard))
+                        if not keep.any():
+                            continue
+                        doc_b, term_b, salt_b = (
+                            doc_b[keep], term_b[keep], salt_b[keep],
+                        )
+                    else:
+                        keep = None
+                    kept["doc_id"].append(doc_b)
+                    kept["term_id"].append(term_b)
+                    kept["salt"].append(salt_b)
+                    for c in cols:
+                        if c in ("doc_id", "term_id"):
+                            continue
+                        arr = rb.column(c).to_numpy(zero_copy_only=False)
+                        kept[c].append(arr[keep] if keep is not None
+                                       else arr)
+                if not kept["doc_id"]:
+                    continue
+                doc = np.concatenate(kept["doc_id"])
+                term = np.concatenate(kept["term_id"])
+                tf = np.concatenate(kept["tf"])
+                dl = np.concatenate(kept["dl"])
+                salt = np.concatenate(kept["salt"])
+                pos = (np.concatenate(kept["pos"])
+                       if with_positions else None)
                 order = np.lexsort((doc, salt, term))
                 doc, term, tf, dl, salt = (
                     doc[order], term[order], tf[order], dl[order],
@@ -516,12 +566,12 @@ def _live_dir_for_build(index_dir: str) -> str:
     cur = cl.current_version(index_dir)
     if cur is not None:
         return os.path.join(index_dir, cur)
-    if os.path.exists(os.path.join(index_dir, "_build_info.json")):
+    if fsio.exists(os.path.join(index_dir, "_build_info.json")):
         return index_dir
     version = cl.version_name(index_dir)
     cl.publish(index_dir, version)
     live = os.path.join(index_dir, version)
-    os.makedirs(live, exist_ok=True)
+    fsio.makedirs(live)
     return live
 
 
@@ -542,13 +592,13 @@ def _build_from_tokens(
     build_postings (tokens from pages) and merge_segments (tokens decoded
     from existing segment postings — the multi-way posting merge)."""
     t0 = time.time()
-    os.makedirs(index_dir, exist_ok=True)
+    fsio.makedirs(index_dir)
     staging = os.path.join(index_dir, "_staging_tokens")
     # the postings subdir is pointer-versioned from birth so compaction can
     # later publish a rewritten version atomically (plans/commitlog.py);
     # readers go through read_postings, which resolves the pointer
     postings_root = os.path.join(index_dir, "postings")
-    if cl.current_version(postings_root) is None and not os.path.isdir(
+    if cl.current_version(postings_root) is None and not fsio.isdir(
         postings_root
     ):
         cl.publish(postings_root, cl.version_name(postings_root))
@@ -559,7 +609,7 @@ def _build_from_tokens(
     done = mf.completed_partitions(spark, index_dir)
     stage_s: dict[str, float] = {}
     bucket_rows_cache: dict[int, int] | None = None  # set on fresh builds
-    if not os.path.exists(os.path.join(index_dir, "_build_info.json")):
+    if not fsio.exists(os.path.join(index_dir, "_build_info.json")):
         # ---- stage 0-1: ONE tokenize pass -> staged tokens ----
         # Tokenization is the expensive scan; everything downstream
         # (term stats, salt plan, encode) reads the compact staged parquet
@@ -686,6 +736,7 @@ def _build_from_tokens(
         # the RECORDED layout governs on resume (a re-run must read the
         # staging as it was written)
         flat_staging=bool(info.get("flat_staging", False)),
+        filesystem=cfg.staging_filesystem,
     )
     pending = [b for b in sorted(bucket_rows) if b not in done]
     batch_size = cfg.bucket_batch_size or len(pending) or 1
@@ -749,22 +800,17 @@ def _encode_pending(
         wall_ms = (time.time() - tb) * 1000 / max(1, len(batch))
         # rows_out from the parquet FOOTERS (driver-side metadata reads) —
         # replaces a full re-scan job of the just-written postings (r3)
-        import pyarrow.parquet as pq
-
         rows_out: dict[int, int] = {}
         rows_mf = []
         for b in batch:
             out_path = os.path.join(postings_dir, f"term_bucket={b}")
             bytes_out = 0
-            if os.path.isdir(out_path):
-                for f in os.listdir(out_path):
-                    if not f.endswith(".parquet"):
-                        continue
-                    fp = os.path.join(out_path, f)
-                    bytes_out += os.path.getsize(fp)
-                    rows_out[b] = rows_out.get(b, 0) + int(
-                        pq.read_metadata(fp).num_rows
-                    )
+            for f in fsio.listdir(out_path):
+                if not f.endswith(".parquet"):
+                    continue
+                fp = os.path.join(out_path, f)
+                bytes_out += fsio.getsize(fp)
+                rows_out[b] = rows_out.get(b, 0) + fsio.parquet_num_rows(fp)
             rows_mf.append(
                 mf.manifest_row(
                     partition_key=b,
@@ -786,13 +832,11 @@ def list_segments(index_dir: str) -> list[str]:
     Segments live inside the version tree, so a published merge atomically
     starts with zero segments."""
     root = os.path.join(cl.resolve(index_dir), SEGMENTS_DIRNAME)
-    if not os.path.isdir(root):
-        return []
     return sorted(
         os.path.join(root, d)
-        for d in os.listdir(root)
+        for d in fsio.listdir(root)
         if d.startswith("seg_")
-        and os.path.exists(os.path.join(root, d, "_build_info.json"))
+        and fsio.exists(os.path.join(root, d, "_build_info.json"))
     )
 
 
@@ -850,7 +894,7 @@ def append_postings(
     fingerprint = f"{int(fp_row['n'])}:{fp_row['h'] if fp_row['h'] is not None else 0}"
     seg_name = "seg_" + hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
     seg_dir = os.path.join(live, SEGMENTS_DIRNAME, seg_name)
-    resuming = os.path.exists(os.path.join(seg_dir, "_build_info.json"))
+    resuming = fsio.exists(os.path.join(seg_dir, "_build_info.json"))
     if not resuming:
         # disjointness only checked for NEW segments — a resumed segment's
         # ids legitimately precede segments appended after it
@@ -1132,9 +1176,11 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     # instead of trusted stale (review finding).
     import json
 
-    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
-    with open(os.path.join(path, "_count.json"), "w") as f:
-        json.dump({"count": int(n), "files": files}, f)
+    files = sorted(f for f in fsio.listdir(path) if f.endswith(".parquet"))
+    fsio.write_text(
+        os.path.join(path, "_count.json"),
+        json.dumps({"count": int(n), "files": files}),
+    )
     from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
 
     invalidate_index_cache(index_dir)
@@ -1159,12 +1205,11 @@ def tombstone_count(spark: SparkSession, index_dir: str) -> int:
     import json
 
     path = os.path.join(cl.resolve(index_dir), TOMBSTONES_DIRNAME)
-    if not os.path.isdir(path):
+    if not fsio.isdir(path):
         return 0
     try:
-        with open(os.path.join(path, "_count.json")) as f:
-            side = json.load(f)
-        files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        side = json.loads(fsio.read_text(os.path.join(path, "_count.json")))
+        files = sorted(f for f in fsio.listdir(path) if f.endswith(".parquet"))
         if side.get("files") == files:
             return int(side["count"])
     except (OSError, ValueError, KeyError):
@@ -1177,7 +1222,7 @@ def read_tombstones_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Distinct tombstoned doc ids as a DataFrame (the scale path: never
     materialized on the driver), or None if the index has no tombstones."""
     path = os.path.join(cl.resolve(index_dir), TOMBSTONES_DIRNAME)
-    if not os.path.isdir(path):
+    if not fsio.isdir(path):
         return None
     return (
         spark.read.parquet(path)
@@ -1198,7 +1243,7 @@ def read_tombstones(spark: SparkSession, index_dir: str,
     tombstone_count passes it as known_count so the cap check does not
     re-run the count jobs (review finding: open_index counted twice)."""
     path = os.path.join(cl.resolve(index_dir), TOMBSTONES_DIRNAME)
-    if not os.path.isdir(path):
+    if not fsio.isdir(path):
         return None
     count = (known_count if known_count is not None
              else tombstone_count(spark, index_dir))
@@ -1260,7 +1305,7 @@ def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     build writes no posting files at all; that is still a valid (empty)
     index, so return an empty frame rather than failing."""
     path = cl.resolve(os.path.join(cl.resolve(index_dir), "postings"))
-    if not os.path.isdir(path):
+    if not fsio.isdir(path):
         empty_schema = StructType(
             POSTINGS_SCHEMA.fields + [StructField("term_bucket", IntegerType())]
         )

@@ -40,7 +40,8 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
+
+from pears_fruit_fly_spark.plans import fsio
 
 CURRENT_FILE = "_current"
 # The token suffix is arbitrary caller-chosen text ('purge', 'compact', a
@@ -55,8 +56,7 @@ _VERSION_RE = re.compile(r"^_v_(\d{8})(?:_.+)?$")
 def current_version(root: str) -> str | None:
     """Name of the live version, or None (legacy flat layout / fresh dir)."""
     try:
-        with open(os.path.join(root, CURRENT_FILE)) as f:
-            name = f.read().strip()
+        name = fsio.read_text(os.path.join(root, CURRENT_FILE)).strip()
     except OSError:
         return None
     return name or None
@@ -94,22 +94,21 @@ def publish(root: str, version: str) -> None:
     visible object IS durable; on a local fs a kernel crash immediately
     after a job can lose unflushed data regardless of any protocol here).
     Process-crash safety — the property the crash-point tests assert — is
-    complete at every step either way."""
-    os.makedirs(root, exist_ok=True)
-    tmp = os.path.join(root, CURRENT_FILE + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(version + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, CURRENT_FILE))
-    try:  # persist the rename's directory entry (POSIX; no-op elsewhere)
-        dfd = os.open(root, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
-    except OSError:
-        pass
+    complete at every step either way. On object-store roots the pointer
+    write is a single whole-object PUT — atomic by the store's own
+    semantics (readers see the old or the new pointer, never a torn one),
+    so the temp+rename dance is local-only (fsio.write_text_atomic)."""
+    fsio.makedirs(root)
+    fsio.write_text_atomic(os.path.join(root, CURRENT_FILE), version + "\n")
+    if not fsio.has_scheme(root):
+        try:  # persist the rename's directory entry (POSIX; no-op elsewhere)
+            dfd = os.open(root, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
 
 
 def gc(root: str, keep_previous: int = 0) -> None:
@@ -130,21 +129,14 @@ def gc(root: str, keep_previous: int = 0) -> None:
         cur_n = int(m.group(1)) if m else -1
         older = sorted(
             (int(mm.group(1)), child)
-            for child in os.listdir(root)
+            for child in fsio.listdir(root)
             if (mm := _VERSION_RE.match(child)) and int(mm.group(1)) < cur_n
         )
         keep.update(child for _, child in older[-keep_previous:])
-    for child in os.listdir(root):
+    for child in fsio.listdir(root):
         if child in keep:
             continue
-        path = os.path.join(root, child)
-        if os.path.isdir(path) and not os.path.islink(path):
-            shutil.rmtree(path, ignore_errors=True)
-        else:
-            try:
-                os.remove(path)
-            except OSError:
-                pass
+        fsio.remove_any(os.path.join(root, child))
 
 
 def commit_rewrite(root: str, token: str, build_fn) -> str:

@@ -50,16 +50,21 @@ def completed_partitions(spark: SparkSession, index_dir: str) -> set[int]:
     """Driver-side pyarrow read (r4): the manifest is KB-sized — a Spark
     job (scan + distinct + collect) cost ~0.3-0.5 s of pure scheduling on
     EVERY build/append/resume for data that fits in one footer read. The
-    `spark` arg stays for signature stability (tests monkeypatch here)."""
-    import glob
-
-    import pyarrow.parquet as pq
+    `spark` arg stays for signature stability (tests monkeypatch here).
+    Listing/reads resolve through plans/fsio, so non-local index trees
+    (s3://, hdfs://) see the real manifest instead of an empty glob that
+    silently re-encodes every bucket (ADVICE r4)."""
+    from pears_fruit_fly_spark.plans import fsio
 
     path = manifest_path(index_dir)
     done: set[int] = set()
-    for f in glob.glob(os.path.join(path, "*.parquet")):
+    for name in fsio.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
         try:
-            col = pq.read_table(f, columns=["partition_key"])
+            col = fsio.read_parquet_table(
+                os.path.join(path, name), columns=["partition_key"]
+            )
         except Exception:
             continue  # half-written file from a crashed appender: redo
         done.update(int(x) for x in col["partition_key"].to_pylist())
@@ -77,12 +82,13 @@ def append_manifest_rows(spark: SparkSession, index_dir: str, rows: list[dict]) 
     import uuid
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
+
+    from pears_fruit_fly_spark.plans import fsio
 
     pdf = pd.DataFrame(rows, columns=MANIFEST_COLUMNS)
     path = manifest_path(index_dir)
-    os.makedirs(path, exist_ok=True)
-    pq.write_table(
+    fsio.makedirs(path)
+    fsio.write_parquet_table(
         pa.Table.from_pandas(pdf, preserve_index=False),
         os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"),
     )
@@ -118,11 +124,14 @@ def write_build_info(index_dir: str, info: dict) -> None:
     # process) still evict stale handles (ADVICE r2).
     info.setdefault("build_id", uuid.uuid4().hex)
     from pears_fruit_fly_spark.plans import commitlog as cl
+    from pears_fruit_fly_spark.plans import fsio
 
     live = cl.resolve(index_dir)
-    os.makedirs(live, exist_ok=True)
-    with open(os.path.join(live, "_build_info.json"), "w") as f:
-        json.dump(info, f, indent=2, sort_keys=True)
+    fsio.makedirs(live)
+    fsio.write_text(
+        os.path.join(live, "_build_info.json"),
+        json.dumps(info, indent=2, sort_keys=True),
+    )
 
 
 def bump_build_id(index_dir: str) -> None:
@@ -132,16 +141,23 @@ def bump_build_id(index_dir: str) -> None:
     import uuid
 
     from pears_fruit_fly_spark.plans import commitlog as cl
+    from pears_fruit_fly_spark.plans import fsio
 
     live = cl.resolve(index_dir)
     info = read_build_info(live)
     info["build_id"] = uuid.uuid4().hex
-    with open(os.path.join(live, "_build_info.json"), "w") as f:
-        json.dump(info, f, indent=2, sort_keys=True)
+    fsio.write_text(
+        os.path.join(live, "_build_info.json"),
+        json.dumps(info, indent=2, sort_keys=True),
+    )
 
 
 def read_build_info(index_dir: str) -> dict:
     from pears_fruit_fly_spark.plans import commitlog as cl
+    from pears_fruit_fly_spark.plans import fsio
 
-    with open(os.path.join(cl.resolve(index_dir), "_build_info.json")) as f:
-        return json.load(f)
+    return json.loads(
+        fsio.read_text(
+            os.path.join(cl.resolve(index_dir), "_build_info.json")
+        )
+    )
