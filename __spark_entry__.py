@@ -1183,6 +1183,52 @@ def q_hamming_topk(spark, sf_dir):
     return hamming_topk(staged, qsig, k=10)
 
 
+def q_semantic_map(spark, sf_dir):
+    """Semantic map: deterministic Hamming-space clustering over fly
+    signatures — the Spark-native analog of the reference's UMAP+Birch web
+    map (ref: web_map/umap/apply_umap_fly.py:45-195).
+
+    The signature build and the majority-vote centroid refinement are not
+    SQL-expressible (seeded projections / iterative recentering; the
+    refinement is oracled independently in tests/test_semantic_map.py
+    against a pure-Python re-derivation), so the Spark query STAGES the
+    signatures and the final centroids to parquet and the DuckDB oracle
+    re-derives the full assignment — nearest centroid by Hamming with
+    ties to the smallest cluster id, plus per-cluster sizes — over the
+    exact same staged inputs. That cross-checks the zero-shuffle
+    literal-argmin assignment codegen end to end."""
+    import numpy as np
+
+    from pears_fruit_fly_spark.config import FlyConfig
+    from pears_fruit_fly_spark.functions.vocab import Vocab
+    from pears_fruit_fly_spark.operators.semantic_map import build_semantic_map
+    from pears_fruit_fly_spark.operators.signatures import build_signatures
+
+    docs = _docs(spark, sf_dir)
+    terms = [r["term"] for r in _term_ranks(spark, sf_dir).orderBy("rid").collect()]
+    zipf = np.log(np.arange(2, len(terms) + 2) / (len(terms) + 2.0))
+    vocab = Vocab(terms=terms, logprobs=zipf)
+    cfg = FlyConfig(pn_size=len(terms), kc_size=64, proj_size=4,
+                    top_words=10, wta_percent=10.0)
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"),
+                        F.array_join(tokens_array("text"), " ").alias("text"))
+    sigs = build_signatures(spark, pages, vocab, cfg).select("url", "sig")
+    sig_path = HAMMING_STAGE_DIR + "/map_sigs"
+    sigs.write.mode("overwrite").parquet(sig_path)
+    staged = spark.read.parquet(sig_path)
+
+    cents, assigned = build_semantic_map(spark, staged, k=8, iters=2)
+    spark.createDataFrame(
+        [(cid, words) for cid, words in cents],
+        "cid int, cvec array<long>",
+    ).write.mode("overwrite").parquet(HAMMING_STAGE_DIR + "/map_centroids")
+    w = Window.partitionBy("cluster_id")
+    return assigned.select(
+        "url", "cluster_id", "hamming",
+        F.count("*").over(w).cast("long").alias("cluster_n"),
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """Engine MinHash-LSH near-dup pairs. The minhash computation itself is
     xxhash64-based (not SQL-expressible; its math is oracled separately via
@@ -1303,7 +1349,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ingest_filter": q_ingest_filter,
         "q_token_counts": q_token_counts,
         "q_doc_freq": q_doc_freq,
-        "q_doclen": q_doclen,
         "q_collection_stats": q_collection_stats,
         "q_top_terms_per_doc": q_top_terms_per_doc,
         "q_keywords_weighted": q_keywords_weighted,
@@ -1351,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_multimodal_features": q_multimodal_features,
         "q_ann_lsh": q_ann_lsh,
+        "q_semantic_map": q_semantic_map,
     }
 
 
@@ -1432,10 +1478,6 @@ SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
             "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2) "
             "SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf "
             "FROM tf GROUP BY 1"
-        ),
-        "q_doclen": (
-            f"WITH toks AS ({_SQL_TOKS}) "
-            "SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1"
         ),
         "q_collection_stats": (
             f"WITH toks AS ({_SQL_TOKS}), "
@@ -1981,6 +2023,25 @@ WHERE rank <= 10
             f"SELECT url, sig_hex, keywords_csv, doclen FROM "
             f"read_parquet('{HAMMING_STAGE_DIR}/fly_expected/*.parquet')"
         ),
+        # semantic map: signatures + final centroids staged by the Spark
+        # query; the oracle re-derives the full assignment (nearest
+        # centroid by Hamming, ties -> smallest cluster id) and the
+        # per-cluster sizes over the same staged inputs
+        "q_semantic_map": (
+            f"WITH s AS (SELECT url, sig FROM "
+            f"read_parquet('{HAMMING_STAGE_DIR}/map_sigs/*.parquet')), "
+            f"c AS (SELECT cid, cvec FROM "
+            f"read_parquet('{HAMMING_STAGE_DIR}/map_centroids/*.parquet')), "
+            "d AS (SELECT s.url, c.cid, CAST(list_sum(list_transform("
+            "  range(1, len(s.sig) + 1), "
+            "  i -> bit_count(xor(s.sig[i], c.cvec[i])))) AS BIGINT) AS hamming "
+            "FROM s CROSS JOIN c), "
+            "a AS (SELECT url, cid, hamming, row_number() OVER ("
+            "  PARTITION BY url ORDER BY hamming ASC, cid ASC) AS rn FROM d) "
+            "SELECT url, CAST(cid AS INT) AS cluster_id, hamming, "
+            "CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_n "
+            "FROM a WHERE rn = 1"
+        ),
         # multimodal: expected rows staged by the INDEPENDENT byte-walking
         # decoder (oracle/media_oracle.py); round at 4dp like the Spark side
         "q_multimodal_features": (
@@ -2003,11 +2064,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       and q_pmi_collocations.
     - q_embedding_cosine: brute-force cosine, called by (and therefore
       verified through) q_embedding_topk.
+    - q_doclen: the A8 dl statistic, subsumed by q_collection_stats (sums
+      the same per-doc counts) and q_doc_freq; moved out in r5 to make
+      window room for q_semantic_map.
     """
     return {
         "q_exact_dup_groups": q_exact_dup_groups,
         "q_bigram_counts": q_bigram_counts,
         "q_embedding_cosine": q_embedding_cosine,
+        "q_doclen": q_doclen,
     }
 
 
@@ -2031,5 +2096,9 @@ def extra_oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(list_cosine_similarity("
             "  CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 4) AS cosine "
             "FROM embeddings CROSS JOIN q"
+        ),
+        "q_doclen": (
+            f"WITH toks AS ({_SQL_TOKS}) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1"
         ),
     }

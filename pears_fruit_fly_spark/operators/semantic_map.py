@@ -1,0 +1,300 @@
+"""Semantic map: deterministic Hamming-space clustering over fly signatures.
+
+Spark-native analog of the reference's UMAP+Birch web map
+(ref: web_map/umap/apply_umap_fly.py — UMAP reduce :160-195, Birch
+threshold clustering :45-52, batched cluster assignment :55-95,
+per-cluster centroids :98-120, top-5 stopword-filtered title keywords as
+cluster labels :123-155). The reference pipeline is driver-side sklearn
+end to end: UMAP and Birch both train on "the first 50k rows" of a local
+dense matrix and predict in 20k-row Python batches — nothing about it
+distributes.
+
+The engine re-derives the same *product* (a map of the corpus: every doc
+in a cluster, clusters labeled by their dominant title keywords,
+centroids available for routed search) from Spark-native parts:
+
+* **Reduction**: the fly signature itself. The fly IS a seeded sparse
+  random projection to a low-dim binary space (functions/fly.py); a
+  second UMAP stage on top is sklearn-specific and adds nothing a
+  distributed consumer can use, so the map clusters signatures directly
+  in Hamming space.
+* **Clustering**: k centroids, seeded deterministically (the k smallest
+  doc keys — the distributed analog of Birch's "fit on the first 50k"),
+  refined by bitwise-majority iteration: assign each doc to its nearest
+  centroid (Hamming, ties -> smallest cluster id), then recompute each
+  centroid as the per-bit majority vote of its members (the Hamming-space
+  1-median). Majority refinement is the binary k-means step; a fixed
+  iteration count keeps the whole build deterministic.
+* **Assignment**: zero-shuffle. Centroids are a tiny table (k rows);
+  they ride into the scan as a literal array-of-structs column and the
+  argmin is `array_min` over per-centroid (distance, id) structs —
+  whole-stage codegen, no join, no exchange. The reference's 20k-row
+  predict loop becomes one narrow map over the signature table.
+* **Labels**: groupBy + window top-5 over stopword-filtered title
+  tokens — the distributed Counter(keywords).most_common(5).
+* **Serving**: route a query signature to its `nprobe` nearest centroids
+  and run Hamming top-k inside those clusters only (the IVF pattern of
+  operators/similarity.py, in Hamming space) — the map is not just a
+  visualization artifact, it is a search accelerator.
+
+Determinism contract (everything pinned, so a DuckDB oracle and a numpy
+re-derivation can check it bit for bit): seed order = doc-key ascending;
+assignment tie -> smallest cluster id; majority tie (exactly half the
+members set a bit) -> bit 0; empty cluster -> keeps its previous
+centroid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "seed_centroids",
+    "assign_clusters",
+    "majority_centroids",
+    "build_semantic_map",
+    "cluster_sizes",
+    "cluster_labels",
+    "map_routed_topk",
+]
+
+
+def seed_centroids(sigs: DataFrame, k: int, id_col: str = "url",
+                   sig_col: str = "sig") -> list[tuple[int, list[int]]]:
+    """Deterministic init: the k docs with smallest id become centroids
+    0..k-1 (analog of Birch fitting on the head of the dataset,
+    ref apply_umap_fly.py:49). Returns driver-side [(cluster_id, words)]
+    — centroids are k rows of a few int64 words, inherently tiny."""
+    rows = sigs.select(id_col, sig_col).orderBy(F.asc(id_col)).limit(k).collect()
+    return [(i, [int(w) for w in r[sig_col]]) for i, r in enumerate(rows)]
+
+
+def _centroid_literal(centroids: list[tuple[int, list[int]]]):
+    """Literal array<struct<cid:int, c:array<bigint>>> column."""
+    return F.array(*[
+        F.struct(
+            F.lit(int(cid)).alias("cid"),
+            F.array(*[F.lit(int(w)).cast("long") for w in words]).alias("c"),
+        )
+        for cid, words in centroids
+    ])
+
+
+def assign_clusters(sigs: DataFrame, centroids: list[tuple[int, list[int]]],
+                    id_col: str = "url", sig_col: str = "sig") -> DataFrame:
+    """(id, cluster_id, hamming): nearest centroid per doc, ties -> smallest
+    cluster id.
+
+    Zero-shuffle: the centroid table enters the plan as a literal array of
+    structs and the argmin is `array_min` over per-centroid
+    (hamming, cid) structs — struct ordering is lexicographic, so min
+    distance wins and equal distances fall to the smaller cid. The whole
+    expression is JVM codegen; the reference's 20k-batch Birch predict
+    loop (apply_umap_fly.py:60-66) becomes one narrow map."""
+    cents = _centroid_literal(centroids)
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(sig_col), c["c"],
+                           lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("hamming"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(scored)
+    return sigs.select(
+        F.col(id_col),
+        best["cid"].alias("cluster_id"),
+        best["hamming"].alias("hamming"),
+        F.col(sig_col),
+    )
+
+
+def majority_centroids(assigned: DataFrame, n_words: int,
+                       sig_col: str = "sig") -> DataFrame:
+    """(cluster_id, centroid array<long>): per-bit majority vote over each
+    cluster's member signatures — the Hamming-space 1-median (strict
+    majority sets the bit; an exact tie leaves it 0).
+
+    Distributed shape: explode only the SET bit positions (popcount rows
+    per doc, not 64*words), count per (cluster, word, bit) with map-side
+    partial aggregation, compare against cluster sizes, and OR the
+    surviving bits back into words. Every step is JVM codegen +
+    standard partial-agg shuffles keyed by cluster — no driver hop, no
+    dense matrices."""
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("_n"))
+    bits = (
+        assigned
+        .select("cluster_id", F.posexplode(sig_col).alias("word_idx", "word"))
+        .select(
+            "cluster_id", "word_idx",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(0, 63), "
+                    "i -> CASE WHEN ((word >> i) & 1) = 1 THEN i END), "
+                    "x -> x IS NOT NULL)"
+                )
+            ).alias("bit"),
+        )
+    )
+    counts = bits.groupBy("cluster_id", "word_idx", "bit").agg(
+        F.count("*").alias("_cnt")
+    )
+    maj = counts.join(sizes, "cluster_id").filter(
+        F.col("_cnt") * 2 > F.col("_n")
+    )
+    # distinct bits per (cluster, word): sum of 1<<bit == bitwise OR
+    words = maj.groupBy("cluster_id", "word_idx").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("word")
+    )
+    # absent word positions (no majority bit anywhere in the word) -> 0;
+    # anchored on sizes so a cluster with NO majority bit at all still
+    # yields an all-zero centroid row instead of vanishing
+    packed = sizes.join(
+        words.groupBy("cluster_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "word"))
+            ).alias("_m")
+        ),
+        "cluster_id", "left",
+    )
+    idx = F.sequence(F.lit(0), F.lit(int(n_words) - 1))
+    return packed.select(
+        "cluster_id",
+        F.transform(
+            # _m is a MAP keyed by word_idx (element_at = key lookup,
+            # not 1-based array position)
+            idx, lambda i: F.coalesce(F.element_at("_m", i), F.lit(0).cast("long"))
+        ).alias("centroid"),
+    )
+
+
+def build_semantic_map(
+    spark: SparkSession,
+    sigs: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "url",
+    sig_col: str = "sig",
+) -> tuple[list[tuple[int, list[int]]], DataFrame]:
+    """Full map build: seeded init + `iters` rounds of (assign → majority
+    recenter) + final assignment. Returns (centroids, assignments).
+
+    Each round is two narrow jobs (the assignment is shuffle-free; the
+    recenter shuffles popcount-sized rows keyed by cluster) and the
+    centroid table returns to the driver between rounds — k * n_words
+    int64s, a few KB, the same scale of driver state as the salt plan or
+    collection stats. Empty clusters keep their previous centroid
+    (pinned; Birch never empties a CF node either)."""
+    first = sigs.select(sig_col).first()
+    if first is None:
+        raise ValueError("build_semantic_map: empty signature table")
+    n_words = len(first[sig_col])
+    cents = seed_centroids(sigs, k, id_col, sig_col)
+    if len(cents) < k:
+        raise ValueError(
+            f"build_semantic_map: k={k} exceeds corpus size {len(cents)}"
+        )
+    for _ in range(int(iters)):
+        assigned = assign_clusters(sigs, cents, id_col, sig_col)
+        new = {
+            int(r["cluster_id"]): [int(w) for w in r["centroid"]]
+            for r in majority_centroids(assigned, n_words, sig_col).collect()
+        }
+        cents = [(cid, new.get(cid, words)) for cid, words in cents]
+    return cents, assign_clusters(sigs, cents, id_col, sig_col)
+
+
+def cluster_sizes(assigned: DataFrame) -> DataFrame:
+    """(cluster_id, n_docs) — ref Counter(idx2clusters),
+    apply_umap_fly.py:70-72."""
+    return assigned.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+
+
+def cluster_labels(
+    assigned: DataFrame,
+    titles: DataFrame,
+    stopwords: list[str],
+    id_col: str = "url",
+    title_col: str = "title",
+    top_n: int = 5,
+) -> DataFrame:
+    """(cluster_id, label): top-`top_n` stopword-filtered title keywords
+    per cluster, space-joined — ref generate_cluster_labels
+    (apply_umap_fly.py:123-155: Counter over split titles minus NLTK
+    stopwords, ' '.join of most_common(5)).
+
+    The reference's Counter.most_common leaves equal-count order
+    undefined; here ties are pinned to (count desc, keyword asc) so the
+    label is a pure function of the corpus."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    words = (
+        assigned.select("cluster_id", id_col)
+        .join(titles.select(id_col, title_col), id_col)
+        .select(
+            "cluster_id",
+            F.explode(F.split(F.col(title_col), r"\s+")).alias("kw"),
+        )
+        .filter((F.col("kw") != "") & ~F.array_contains(sw, F.col("kw")))
+    )
+    counts = words.groupBy("cluster_id", "kw").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("cnt"), F.asc("kw"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .groupBy("cluster_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rank", "kw"))
+                    ),
+                    lambda s: s["kw"],
+                ),
+                " ",
+            ).alias("label")
+        )
+    )
+
+
+def map_routed_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    query_sig,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "url",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Cluster-routed Hamming top-k: probe the `nprobe` centroids nearest
+    the query and rank only inside those clusters — IVF in Hamming space
+    (similarity.py's pattern over embeddings). The cluster filter
+    partition-prunes when `assigned` is stored partitionBy("cluster_id").
+
+    Candidate routing is driver-side over the tiny centroid list (k
+    popcounts); the cluster scan + top-k stays a
+    TakeOrderedAndProject plan like the flat hamming_topk."""
+    q = [int(w) for w in query_sig]
+    ranked = sorted(
+        (sum(bin(w ^ qw).count("1") for w, qw in zip(words, q)), cid)
+        for cid, words in centroids
+    )
+    probe = [cid for _, cid in ranked[: int(nprobe)]]
+    qcol = F.array(*[F.lit(w).cast("long") for w in q])
+    dist = F.aggregate(
+        F.zip_with(F.col(sig_col), qcol,
+                   lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("hamming")
+    return (
+        assigned.filter(F.col("cluster_id").isin(probe))
+        .select(id_col, dist)
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,215 @@
+"""Semantic map (operators/semantic_map.py): the Spark-native analog of the
+reference UMAP+Birch web map (web_map/umap/apply_umap_fly.py:45-195).
+
+Correctness strategy: an INDEPENDENT numpy re-derivation of the whole
+build (nearest-by-hamming with pinned ties, per-bit majority vote,
+empty-cluster retention) — pure Python ints and loops, none of the
+engine's Column algebra — must match the engine bit for bit. Plus a
+zero-shuffle plan assert for the assignment, label parity vs a
+Counter-style rederivation, and prec@k parity of routed search vs the
+flat Hamming scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pears_fruit_fly_spark.operators.semantic_map import (
+    assign_clusters,
+    build_semantic_map,
+    cluster_labels,
+    cluster_sizes,
+    majority_centroids,
+    map_routed_topk,
+    seed_centroids,
+)
+from pears_fruit_fly_spark.operators.signatures import hamming_topk
+
+
+# ---------- independent oracle (pure-Python, no engine code) ----------
+
+def _hamming(a, b):
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+def _oracle_assign(rows, cents):
+    """rows: [(id, words)]; cents: [(cid, words)] -> {id: (cid, dist)}"""
+    out = {}
+    for rid, words in rows:
+        best = min((_hamming(words, c), cid) for cid, c in cents)
+        out[rid] = (best[1], best[0])
+    return out
+
+
+def _oracle_majority(rows, assign, cents, n_words):
+    """Per-bit strict-majority recenter; empty cluster keeps previous."""
+    members = {cid: [] for cid, _ in cents}
+    for rid, words in rows:
+        members[assign[rid][0]].append(words)
+    new = []
+    for cid, prev in cents:
+        mem = members[cid]
+        if not mem:
+            new.append((cid, prev))
+            continue
+        words = []
+        for w in range(n_words):
+            word = 0
+            for bit in range(64):
+                cnt = sum((m[w] >> bit) & 1 for m in mem)
+                if cnt * 2 > len(mem):
+                    word |= 1 << bit
+            # reproduce int64 wraparound for bit 63
+            if word >= 1 << 63:
+                word -= 1 << 64
+            words.append(word)
+        new.append((cid, words))
+    return new
+
+
+def _oracle_build(rows, k, iters, n_words):
+    cents = [(i, words) for i, (_, words) in
+             enumerate(sorted(rows)[:k])]
+    for _ in range(iters):
+        assign = _oracle_assign(rows, cents)
+        cents = _oracle_majority(rows, assign, cents, n_words)
+    return cents, _oracle_assign(rows, cents)
+
+
+# ---------- fixtures ----------
+
+@pytest.fixture(scope="module")
+def sig_rows():
+    """120 docs in 3 planted Hamming clusters over 2-word (128-bit)
+    signatures: cluster templates with per-doc bit noise, deterministic."""
+    rng = np.random.default_rng(11)
+    templates = rng.integers(0, 1 << 63, size=(3, 2), dtype=np.int64)
+    rows = []
+    for i in range(120):
+        t = templates[i % 3].copy()
+        for _ in range(3):  # flip 3 random bits
+            w, b = rng.integers(0, 2), int(rng.integers(0, 63))
+            t[w] ^= np.int64(1) << np.int64(b)
+        rows.append((f"u{i:03d}", [int(t[0]), int(t[1])]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def sigs_df(spark, sig_rows):
+    df = spark.createDataFrame(sig_rows, "url string, sig array<long>")
+    df.persist()
+    df.count()
+    return df
+
+
+# ---------- tests ----------
+
+def test_build_matches_independent_oracle(spark, sigs_df, sig_rows):
+    for iters in (0, 1, 2):
+        cents, assigned = build_semantic_map(
+            spark, sigs_df, k=3, iters=iters
+        )
+        exp_cents, exp_assign = _oracle_build(sig_rows, 3, iters, 2)
+        assert cents == exp_cents
+        got = {
+            r["url"]: (r["cluster_id"], r["hamming"])
+            for r in assigned.collect()
+        }
+        assert got == exp_assign
+
+
+def test_assignment_tie_breaks_to_smallest_cluster(spark):
+    # doc equidistant from two identical centroids -> cluster 0
+    df = spark.createDataFrame([("a", [0b1111])], "url string, sig array<long>")
+    cents = [(1, [0b0111]), (0, [0b1110])]  # both at distance 1
+    got = assign_clusters(df, cents).collect()[0]
+    assert (got["cluster_id"], got["hamming"]) == (0, 1)
+
+
+def test_majority_tie_leaves_bit_zero(spark):
+    # two members, one bit each set at position 5 / not -> exact tie -> 0
+    df = spark.createDataFrame(
+        [("a", 0, [1 << 5]), ("b", 0, [0])],
+        "url string, cluster_id int, sig array<long>",
+    )
+    got = majority_centroids(df, n_words=1).collect()
+    assert got[0]["centroid"] == [0]
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # k=3 over 2 distinct points: one seed never wins any member after
+    # refinement reassigns — its centroid must survive unchanged
+    rows = [(f"u{i}", [0 if i < 4 else -1]) for i in range(6)]
+    df = spark.createDataFrame(rows, "url string, sig array<long>")
+    cents, assigned = build_semantic_map(spark, df, k=3, iters=2)
+    assert len(cents) == 3
+    sizes = {r["cluster_id"]: r["n_docs"]
+             for r in cluster_sizes(assigned).collect()}
+    assert sum(sizes.values()) == 6
+
+
+def test_assignment_plan_is_shuffle_free(sigs_df):
+    """The 20k-batch Birch predict loop of the reference becomes one
+    narrow map: literal centroid structs + array_min argmin, no join, no
+    exchange anywhere in the physical plan."""
+    df = assign_clusters(sigs_df, [(0, [0, 0]), (1, [-1, -1])])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_cluster_labels_counter_parity(spark, sigs_df):
+    # titles built so each planted cluster has a dominant keyword
+    titles = spark.createDataFrame(
+        [(f"u{i:03d}",
+          ["alpha news today", "beta sport today", "gamma arts the"][i % 3])
+         for i in range(120)],
+        "url string, title string",
+    )
+    _, assigned = build_semantic_map(spark, sigs_df, k=3, iters=2)
+    got = {r["cluster_id"]: r["label"]
+           for r in cluster_labels(
+               assigned, titles, stopwords=["the", "today"]).collect()}
+    # independent Counter rederivation with the same pinned tie order
+    from collections import Counter
+    members = {r["url"]: r["cluster_id"] for r in assigned.collect()}
+    exp = {}
+    for cid in set(members.values()):
+        c = Counter()
+        for i in range(120):
+            u = f"u{i:03d}"
+            if members[u] != cid:
+                continue
+            for w in ["alpha news today", "beta sport today",
+                      "gamma arts the"][i % 3].split():
+                if w not in ("the", "today"):
+                    c[w] += 1
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        exp[cid] = " ".join(w for w, _ in top)
+    assert got == exp
+
+
+def test_routed_topk_precision_vs_flat(spark, sigs_df, sig_rows):
+    """prec@10 of cluster-routed search vs the flat Hamming scan (the
+    VERDICT r4 #6 done-criterion). On the planted-cluster fixture the
+    query's true neighbours share its cluster, so nprobe=1 must already
+    recover the flat top-k near-perfectly."""
+    cents, assigned = build_semantic_map(spark, sigs_df, k=3, iters=2)
+    qsig = sig_rows[0][1]  # an actual member doc as the query
+    flat = [r["url"] for r in hamming_topk(
+        sigs_df, np.array(qsig, dtype=np.int64), k=10).collect()]
+    routed = [r["url"] for r in map_routed_topk(
+        assigned, cents, qsig, k=10, nprobe=1).collect()]
+    prec = len(set(flat) & set(routed)) / 10.0
+    assert prec >= 0.9
+    # nprobe=k degenerates to the exact flat ranking
+    routed_all = [r["url"] for r in map_routed_topk(
+        assigned, cents, qsig, k=10, nprobe=3).collect()]
+    assert routed_all == flat
+
+
+def test_seed_centroids_requires_enough_docs(spark, sigs_df):
+    with pytest.raises(ValueError, match="exceeds corpus size"):
+        build_semantic_map(spark, sigs_df, k=1000)
+    assert len(seed_centroids(sigs_df, 5)) == 5
