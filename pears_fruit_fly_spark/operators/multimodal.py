@@ -14,8 +14,10 @@ that made the WET parser real in r2):
 ``decode_media`` dispatches on magic bytes: recognized payloads get REAL
 pixel/sample statistics; unrecognized payloads (compressed video etc.) fall
 back to deterministic content-hash features so the pipeline never stalls on
-an exotic blob. ``decode_media_real`` remains the clearly-marked gate for
-compressed formats (PNG/JPEG need PIL, absent here).
+an exotic blob. ``decode_media_real`` is the full decoder for compressed
+images (PNG/JPEG/WebP/... via Pillow, checked once at plan-build time);
+in pillow-free environments like this sandbox it fails fast with a clear
+error and ``decode_media`` is the path.
 
 Batch shape: mapInPandas with Arrow transfer — bytes never pass through
 per-row Python rows; one pandas batch in, one out. At scale media tables
@@ -336,18 +338,74 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_decode, FEATURES_SCHEMA)
 
 
-def decode_media_real(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Decoder for COMPRESSED formats — requires media libs not present in
-    this container. BMP/PPM/WAV need no libraries and are decoded for real
-    by decode_media (above); this gate exists only for PNG/JPEG/MP4."""
+PIL_IMAGE_TAG = 4.0  # feature[0] for Pillow-decoded compressed images
+
+
+def decode_media_real(df: DataFrame) -> DataFrame:
+    """Compressed-image decode (PNG/JPEG/WebP/GIF/...) via Pillow.
+
+    Same topology and feature contract as ``decode_media`` — zero-shuffle
+    mapInPandas, FEATURE_DIM stats from exact integer sums — but payloads
+    Pillow can open are decoded for real:
+    ``[4(tag), w, h, 3, mean_r, mean_g, mean_b, min, max, n_pixels, 0...]``.
+    Payloads Pillow cannot open (audio, opaque video, truncated blobs)
+    fall back to the native BMP/PPM/WAV decode or hash features, so one
+    pass handles a mixed media table.
+
+    The dependency is checked ONCE at plan-build time on the driver —
+    a cluster without pillow fails fast with a clear error instead of
+    surfacing per-task ImportErrors mid-job. In pillow-free environments
+    use ``decode_media``, which needs no libraries.
+    """
     try:
-        import PIL  # noqa: F401, PLC0415
+        import PIL  # noqa: F401
     except ImportError as e:
-        raise NotImplementedError(
-            "compressed-format decode requires pillow/librosa/pyav; "
-            "decode_media handles BMP/PPM/WAV natively in this environment"
+        raise RuntimeError(
+            "decode_media_real requires pillow on driver and executors; "
+            "decode_media handles BMP/PPM/WAV natively without it"
         ) from e
-    raise NotImplementedError("wire PIL decode here in production builds")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            feats, sizes = [], []
+            for p in pdf["payload"]:
+                raw = bytes(p) if p is not None else b""
+                sizes.append(len(raw))
+                if not raw:
+                    feats.append(np.zeros(FEATURE_DIM, np.float32))
+                    continue
+                try:
+                    with Image.open(io.BytesIO(raw)) as im:
+                        px = np.asarray(im.convert("RGB"), dtype=np.uint8)
+                except Exception:
+                    # not an image Pillow knows -> the no-dependency path
+                    feats.append(media_features(raw))
+                    continue
+                h, w, _ = px.shape
+                n_px = h * w
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out = np.zeros(FEATURE_DIM, dtype=np.float32)
+                vals = [
+                    PIL_IMAGE_TAG, float(w), float(h), 3.0,
+                    sums[0] / n_px, sums[1] / n_px, sums[2] / n_px,
+                    float(int(px.min())), float(int(px.max())), float(n_px),
+                ]
+                out[: len(vals)] = np.asarray(vals, np.float64).astype(np.float32)
+                feats.append(out)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "n_bytes": sizes,
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_decode, FEATURES_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:

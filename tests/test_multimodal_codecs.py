@@ -136,3 +136,57 @@ def test_engine_vs_independent_oracle_parity():
         engine = [float(x) for x in media_features(p)]
         oracle = media_features_oracle(p)
         assert engine == oracle, (p[:8], engine, oracle)
+
+
+def test_decode_media_real_fails_fast_without_pillow(spark):
+    """Pillow-free environments (this sandbox) must get ONE clear driver
+    error at plan-build time, not per-task ImportErrors mid-job."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("pillow installed here; the guard branch is inert")
+    except ImportError:
+        pass
+    from pears_fruit_fly_spark.operators.multimodal import (
+        decode_media_real,
+        make_media_fixture,
+    )
+
+    with pytest.raises(RuntimeError, match="requires pillow"):
+        decode_media_real(make_media_fixture(spark, n=3))
+
+
+def test_decode_media_real_decodes_compressed_images(spark):
+    """With Pillow present, PNG payloads decode to the same exact-integer
+    pixel stats the native path computes for BMP (tag aside), and
+    non-image payloads fall back to the no-dependency features."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from pears_fruit_fly_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PIL_IMAGE_TAG,
+        decode_media_real,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    png = buf.getvalue()
+    wav = encode_wav(
+        rng.integers(-32768, 32768, size=(64, 1)).astype(np.int16), 8000
+    )
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(png), "image/png", 11, 7, None),
+         (1, "audio", bytearray(wav), "audio/wav", None, None, 8)],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r["features"] for r in decode_media_real(df).collect()}
+    sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    n_px = 7 * 11
+    exp = [PIL_IMAGE_TAG, 11.0, 7.0, 3.0,
+           np.float32(sums[0] / n_px), np.float32(sums[1] / n_px),
+           np.float32(sums[2] / n_px),
+           float(int(px.min())), float(int(px.max())), float(n_px)] + [0.0] * 6
+    assert got[0] == pytest.approx(exp)
+    assert got[1] == pytest.approx([float(x) for x in media_features(wav)])
