@@ -83,6 +83,18 @@ class PostingsConfig:
     # here and every bucket read resolves through it (scheme prefix is
     # stripped from paths before they are handed over). None (default):
     # pyarrow infers the filesystem from the staging path itself.
+    staging_format: str = "rows"  # "rows" (default) = staged tokens are
+    # one parquet row per (doc, term) — the layout every tool can read.
+    # "blobs" = the tokenize kernel packs each batch's tokens into ONE
+    # binary cell per term bucket before they leave the Python worker
+    # (operators/postings.pack_token_blobs), so the Arrow return, the
+    # bucket exchange and the staging parquet move thousands of blob rows
+    # instead of billions of token rows — the r4 BENCH_SCALING
+    # decomposition showed the staging leg flat at 8->32 cores with
+    # per-token rows purely from per-row machinery (UnsafeRow conversion,
+    # exchange hashing, per-row parquet encode). Blocks/postings output is
+    # byte-identical between the two (pinned by test); blobs do not carry
+    # positions, so store_positions forces "rows".
     store_positions: bool = False  # True = record token positions per
     # posting (the Lucene .pos analog; enables phrase queries,
     # operators/phrase.py). Positions are delta+varbyte encoded in the

@@ -80,6 +80,23 @@ STAGED_TOKENS_POS_SCHEMA = StructType(
     TOKENS_POS_SCHEMA.fields + [StructField("term_bucket", IntegerType())]
 )
 
+# staging_format="blobs": one row per (tokenize batch x term bucket), the
+# four token columns packed columnar into a single binary. The Python->JVM
+# Arrow return and the bucket exchange then move thousands of blob rows
+# instead of one row per (doc, term) — the r4 BENCH_SCALING decomposition
+# showed the staging leg flat at 8->32 cores with per-token rows while the
+# pure-JVM shuffle probe scaled at 0.51; blobs shrink the per-row machinery
+# (UnsafeRow conversion, exchange hashing, parquet column encode) to noise
+# while moving the same token bytes.
+TOKEN_BLOB_MAGIC = b"PTB1"
+TOKEN_BLOBS_SCHEMA = StructType(
+    [
+        StructField("term_bucket", IntegerType()),
+        StructField("n", LongType()),
+        StructField("blob", BinaryType()),
+    ]
+)
+
 POSTINGS_SCHEMA = StructType(
     [
         StructField("term_id", IntegerType()),
@@ -306,11 +323,182 @@ def vocab_to_df_minimal(spark: SparkSession, vocab: Vocab) -> DataFrame:
     )
 
 
+_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = np.uint64(0x165667B19E3779F9)
+_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def xxhash64_long(x: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Vectorized replica of Spark's ``xxhash64`` over a LongType column
+    (XXH64 of the 8 little-endian bytes, Spark's default seed 42).
+
+    Needed because blob staging assigns term buckets INSIDE the Python
+    tokenize kernel, while query-time partition pruning (bm25.py) computes
+    the bucket with the JVM expression ``pmod(xxhash64(term_id), P)`` —
+    the two must agree bit for bit (parity pinned against F.xxhash64 in
+    tests/test_postings.py)."""
+
+    def rotl(v: np.ndarray, r: int) -> np.ndarray:
+        return (v << np.uint64(r)) | (v >> np.uint64(64 - r))
+
+    with np.errstate(over="ignore"):
+        acc = np.uint64(seed) + _XXH_P5 + np.uint64(8)
+        k1 = rotl(x.astype(np.int64).view(np.uint64) * _XXH_P2, 31) * _XXH_P1
+        acc = acc ^ k1
+        acc = rotl(acc, 27) * _XXH_P1 + _XXH_P4
+        acc ^= acc >> np.uint64(33)
+        acc *= _XXH_P2
+        acc ^= acc >> np.uint64(29)
+        acc *= _XXH_P3
+        acc ^= acc >> np.uint64(32)
+    return acc.view(np.int64)
+
+
+def term_buckets_py(term_ids: np.ndarray, P: int) -> np.ndarray:
+    """pmod(xxhash64(term_id), P) — the Python twin of the JVM bucket
+    expression used everywhere else in the build/query path."""
+    h = xxhash64_long(term_ids.astype(np.int64))
+    return ((h % P) + P) % P
+
+
+def pack_token_blobs(out: dict, P: int) -> pd.DataFrame:
+    """Tokenize-kernel output dict -> one TOKEN_BLOBS_SCHEMA row per term
+    bucket present in the batch. Blob layout (little-endian, columnar):
+
+        magic 'PTB1' | n uint64 | doc_id int64[n] | term_id int32[n]
+                     | tf int32[n] | dl int64[n]
+    """
+    term = np.ascontiguousarray(out["term_id"], dtype=np.int32)
+    bucket = term_buckets_py(term.astype(np.int64), P)
+    order = np.argsort(bucket, kind="stable")
+    b_sorted = bucket[order]
+    doc = np.ascontiguousarray(out["doc_id"], dtype=np.int64)[order]
+    term = term[order]
+    tf = np.ascontiguousarray(out["tf"], dtype=np.int32)[order]
+    dl = np.ascontiguousarray(out["dl"], dtype=np.int64)[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], b_sorted[1:] != b_sorted[:-1]])
+    )
+    ends = np.append(starts[1:], b_sorted.size)
+    buckets, ns, blobs = [], [], []
+    for s, e in zip(starts, ends):
+        n = int(e - s)
+        blob = b"".join(
+            (
+                TOKEN_BLOB_MAGIC,
+                np.uint64(n).tobytes(),
+                doc[s:e].tobytes(),
+                term[s:e].tobytes(),
+                tf[s:e].tobytes(),
+                dl[s:e].tobytes(),
+            )
+        )
+        buckets.append(int(b_sorted[s]))
+        ns.append(n)
+        blobs.append(blob)
+    return pd.DataFrame(
+        {"term_bucket": np.asarray(buckets, dtype=np.int32),
+         "n": np.asarray(ns, dtype=np.int64),
+         "blob": blobs}
+    )
+
+
+def unpack_token_blob(blob: bytes):
+    """blob -> (doc int64[n], term int32[n], tf int32[n], dl int64[n])."""
+    if blob[:4] != TOKEN_BLOB_MAGIC:
+        raise ValueError(
+            f"bad token-blob magic {blob[:4]!r} (expected {TOKEN_BLOB_MAGIC!r})"
+        )
+    n = int(np.frombuffer(blob, np.uint64, 1, 4)[0])
+    off = 12
+    doc = np.frombuffer(blob, np.int64, n, off)
+    off += 8 * n
+    term = np.frombuffer(blob, np.int32, n, off)
+    off += 4 * n
+    tf = np.frombuffer(blob, np.int32, n, off)
+    off += 4 * n
+    dl = np.frombuffer(blob, np.int64, n, off)
+    return doc, term, tf, dl
+
+
+def tokens_blobs(pages: DataFrame, vocab: Vocab, P: int,
+                 text_col: str = "text") -> DataFrame:
+    """Fused tokenize + per-bucket blob pack in ONE Python eval: the
+    staging_format="blobs" twin of tokens_long. The pack happens before
+    rows leave the tokenize worker, so the Arrow return carries
+    ~(batches x buckets) blob rows instead of one row per (doc, term)."""
+    spark = pages.sparkSession
+    b_terms = spark.sparkContext.broadcast(list(vocab.terms))
+
+    def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab_index = pd.Index(b_terms.value)
+        for pdf in batches:
+            out = tokenize_batch_kernel(pdf, vocab_index, text_col, False)
+            if out is not None:
+                yield pack_token_blobs(out, P)
+
+    return pages.select("doc_id", text_col).mapInPandas(
+        _tok, TOKEN_BLOBS_SCHEMA
+    )
+
+
+def rows_to_blobs(tokens: DataFrame, P: int) -> DataFrame:
+    """Generic TOKENS_SCHEMA rows -> blob rows (one extra Python hop;
+    used by callers whose token source is already a row DataFrame, e.g.
+    the merge path's decoded postings)."""
+
+    def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pack_token_blobs(
+                    {c: pdf[c].to_numpy() for c in
+                     ("doc_id", "term_id", "tf", "dl")}, P
+                )
+
+    return tokens.mapInPandas(_pack, TOKEN_BLOBS_SCHEMA)
+
+
+def blob_term_stats(staged: DataFrame) -> DataFrame:
+    """(term_id, df, cf) from staged blob rows: per-blob partials via one
+    bincount inside the Python worker, summed by a (tiny) JVM agg — the
+    rows crossing the boundary are unique-terms-per-blob, not tokens."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, dfs, cfs = [], [], []
+            for blob in pdf["blob"]:
+                _, term, tf, _ = unpack_token_blob(bytes(blob))
+                if term.size == 0:
+                    continue
+                uniq, inv = np.unique(term, return_inverse=True)
+                terms.append(uniq.astype(np.int32))
+                dfs.append(np.bincount(inv, minlength=uniq.size))
+                cfs.append(np.bincount(inv, weights=tf.astype(np.float64),
+                                       minlength=uniq.size))
+            if not terms:
+                continue
+            yield pd.DataFrame(
+                {"term_id": np.concatenate(terms),
+                 "df": np.concatenate(dfs).astype(np.int64),
+                 "cf": np.concatenate(cfs).astype(np.int64)}
+            )
+
+    partial = staged.select("blob").mapInPandas(
+        _stats, "term_id int, df long, cf long"
+    )
+    return partial.groupBy("term_id").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+
+
 def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
                     avgdl: float, bm25: BM25Config, block_size: int,
                     with_positions: bool = False,
                     flat_staging: bool = False,
-                    filesystem=None):
+                    filesystem=None,
+                    staging_format: str = "rows"):
     """mapInPandas body over encode-task specs (term_bucket, shard,
     n_shards): each task reads its bucket's staged parquet DIRECTLY with
     pyarrow inside the Python worker, applies the salt plan, sorts with
@@ -352,13 +540,38 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
         [n for _, n in sorted(salt_items)], dtype=np.int64
     )
 
+    if staging_format == "blobs" and with_positions:
+        raise ValueError(
+            "staging_format='blobs' does not carry position payloads; "
+            "positional builds use staging_format='rows'"
+        )
+
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.dataset as pads
 
-        cols = ["doc_id", "term_id", "tf", "dl"] + (
-            ["pos"] if with_positions else []
-        )
+        if staging_format == "blobs":
+            cols = ["blob"]
+        else:
+            cols = ["doc_id", "term_id", "tf", "dl"] + (
+                ["pos"] if with_positions else []
+            )
         field_order = [f.name for f in POSTINGS_SCHEMA.fields]
+
+        def _batch_cols(rb):
+            """Uniform per-batch column dicts for both staging layouts:
+            row staging yields the record batch's columns once; blob
+            staging yields one dict per packed blob (the downstream
+            salt/shard/keep logic is layout-agnostic)."""
+            if staging_format == "blobs":
+                for cell in rb.column("blob"):
+                    d, t, tf_, dl_ = unpack_token_blob(cell.as_py())
+                    yield {"doc_id": d, "term_id": t.astype(np.int64),
+                           "tf": tf_, "dl": dl_}
+            else:
+                out = {c: rb.column(c).to_numpy(zero_copy_only=False)
+                       for c in cols}
+                out["term_id"] = out["term_id"].astype(np.int64)
+                yield out
 
         def _fs_path(p: str) -> str:
             # with an injected filesystem, paths are handed to it verbatim
@@ -405,50 +618,53 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
                 # stream the bucket batch-by-batch, applying salt + shard
                 # keep-mask per batch: peak task memory = kept rows + one
                 # Arrow batch, regardless of bucket size or shard count
-                kept: dict[str, list[np.ndarray]] = {c: [] for c in cols}
+                data_cols = (["tf", "dl"] + (["pos"] if with_positions
+                                             else []))
+                kept: dict[str, list[np.ndarray]] = {
+                    c: [] for c in ["doc_id", "term_id", *data_cols]
+                }
                 kept["salt"] = []
                 for rb in scan.to_batches():
                     if rb.num_rows == 0:
                         continue
-                    doc_b = rb.column("doc_id").to_numpy(
-                        zero_copy_only=False)
-                    term_b = rb.column("term_id").to_numpy(
-                        zero_copy_only=False).astype(np.int64)
-                    # salt = doc_id % n_salts(term); non-skewed terms -> 1
-                    nsal = np.ones(term_b.size, dtype=np.int64)
-                    if salt_ids.size:
-                        ix = np.searchsorted(salt_ids, term_b)
-                        ix[ix == salt_ids.size] = 0
-                        hit = salt_ids[ix] == term_b
-                        nsal[hit] = salt_ns[ix[hit]]
-                    salt_b = (doc_b % nsal).astype(np.int64)
-                    if int(n_shards) > 1:
-                        h = (
-                            term_b.astype(np.uint64)
-                            * np.uint64(0x9E3779B97F4A7C15)
-                        ) ^ (
-                            salt_b.astype(np.uint64)
-                            * np.uint64(0xBF58476D1CE4E5B9)
-                        )
-                        keep = (
-                            h % np.uint64(int(n_shards))
-                        ) == np.uint64(int(shard))
-                        if not keep.any():
+                    for cb in _batch_cols(rb):
+                        doc_b = cb["doc_id"]
+                        term_b = cb["term_id"]
+                        if term_b.size == 0:
                             continue
-                        doc_b, term_b, salt_b = (
-                            doc_b[keep], term_b[keep], salt_b[keep],
-                        )
-                    else:
-                        keep = None
-                    kept["doc_id"].append(doc_b)
-                    kept["term_id"].append(term_b)
-                    kept["salt"].append(salt_b)
-                    for c in cols:
-                        if c in ("doc_id", "term_id"):
-                            continue
-                        arr = rb.column(c).to_numpy(zero_copy_only=False)
-                        kept[c].append(arr[keep] if keep is not None
-                                       else arr)
+                        # salt = doc_id % n_salts(term); non-skewed -> 1
+                        nsal = np.ones(term_b.size, dtype=np.int64)
+                        if salt_ids.size:
+                            ix = np.searchsorted(salt_ids, term_b)
+                            ix[ix == salt_ids.size] = 0
+                            hit = salt_ids[ix] == term_b
+                            nsal[hit] = salt_ns[ix[hit]]
+                        salt_b = (doc_b % nsal).astype(np.int64)
+                        if int(n_shards) > 1:
+                            h = (
+                                term_b.astype(np.uint64)
+                                * np.uint64(0x9E3779B97F4A7C15)
+                            ) ^ (
+                                salt_b.astype(np.uint64)
+                                * np.uint64(0xBF58476D1CE4E5B9)
+                            )
+                            keep = (
+                                h % np.uint64(int(n_shards))
+                            ) == np.uint64(int(shard))
+                            if not keep.any():
+                                continue
+                            doc_b, term_b, salt_b = (
+                                doc_b[keep], term_b[keep], salt_b[keep],
+                            )
+                        else:
+                            keep = None
+                        kept["doc_id"].append(doc_b)
+                        kept["term_id"].append(term_b)
+                        kept["salt"].append(salt_b)
+                        for c in data_cols:
+                            arr = cb[c]
+                            kept[c].append(arr[keep] if keep is not None
+                                           else arr)
                 if not kept["doc_id"]:
                     continue
                 doc = np.concatenate(kept["doc_id"])
@@ -532,12 +748,17 @@ def build_postings(
     ids (ADVICE r1). True index append is append_postings (segment-based);
     signature append is the incremental pods path (operators/pods.py).
     """
+    _check_staging_cfg(cfg)
     # ONE pass serves the fingerprint check, n_docs AND doc-id extrema (no
     # separate count job — the fingerprint must not add an input scan)
     fp_row = _corpus_fingerprint_row(pages_with_ids, text_col)
     fingerprint = f"{int(fp_row['n'])}:{fp_row['h'] if fp_row['h'] is not None else 0}"
 
     def tokens_factory() -> DataFrame:
+        if cfg.staging_format == "blobs":
+            # fused tokenize + per-bucket pack in one Python eval
+            return tokens_blobs(pages_with_ids, vocab, cfg.num_partitions,
+                                text_col)
         if cfg.jvm_tokenizer and not cfg.store_positions:
             return tokens_long_jvm(pages_with_ids, vocab, text_col)
         # positions need the full token stream — only the Arrow path has it
@@ -555,6 +776,27 @@ def build_postings(
 
     invalidate_index_cache(index_dir)
     return info
+
+
+def _check_staging_cfg(cfg: PostingsConfig) -> None:
+    """Fail fast on unusable staging configurations — BEFORE the
+    fingerprint scan runs, not three stages into the build."""
+    if cfg.staging_format not in ("rows", "blobs"):
+        raise ValueError(
+            f"staging_format must be 'rows' or 'blobs', "
+            f"got {cfg.staging_format!r}"
+        )
+    if cfg.staging_format == "blobs":
+        if cfg.store_positions:
+            raise ValueError(
+                "staging_format='blobs' does not carry position payloads; "
+                "positional builds use staging_format='rows'"
+            )
+        if cfg.jvm_tokenizer:
+            raise ValueError(
+                "staging_format='blobs' packs inside the Python tokenize "
+                "kernel and cannot combine with jvm_tokenizer=True"
+            )
 
 
 def _live_dir_for_build(index_dir: str) -> str:
@@ -617,7 +859,12 @@ def _build_from_tokens(
         # is a pure function of (doc_id, n_salts) so it needs no extra pass.
         ts = time.time()
         tokens = tokens_factory()
-        bucketed = tokens.withColumn(
+        # the factory's output schema decides the staging format: blob
+        # sources (tokens_blobs / rows_to_blobs) arrive pre-bucketed by
+        # the Python-side xxhash64 twin, row sources get the JVM bucket
+        # expression here — both agree bit for bit (parity test-pinned)
+        blob_staging = "blob" in tokens.columns
+        bucketed = tokens if blob_staging else tokens.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
         )
         flat_staging = n_docs <= cfg.flat_staging_max_docs
@@ -647,12 +894,19 @@ def _build_from_tokens(
         # ---- stage 2: stats from the staged tokens (compact re-read) ----
         # explicit schema: an empty corpus leaves no parquet footers to
         # infer from, but must still produce a valid (empty) index
-        staged_schema = (STAGED_TOKENS_POS_SCHEMA if cfg.store_positions
-                         else STAGED_TOKENS_SCHEMA)
+        if blob_staging:
+            staged_schema = TOKEN_BLOBS_SCHEMA
+        else:
+            staged_schema = (STAGED_TOKENS_POS_SCHEMA if cfg.store_positions
+                             else STAGED_TOKENS_SCHEMA)
         staged_tokens = spark.read.schema(staged_schema).parquet(staging)
-        term_stats = staged_tokens.groupBy("term_id").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
-        ).withColumn(
+        if blob_staging:
+            term_stats = blob_term_stats(staged_tokens)
+        else:
+            term_stats = staged_tokens.groupBy("term_id").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf")
+            )
+        term_stats = term_stats.withColumn(
             # stored alongside stats so query-time partition pruning needs
             # no extra hash job (bm25.py reads df + bucket in ONE lookup)
             "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
@@ -689,6 +943,7 @@ def _build_from_tokens(
             "max_doc": int(max_doc) if max_doc is not None else None,
             "store_positions": bool(cfg.store_positions),
             "flat_staging": bool(flat_staging),
+            "staging_format": "blobs" if blob_staging else "rows",
         }
         mf.write_build_info(index_dir, info)
     else:
@@ -737,6 +992,7 @@ def _build_from_tokens(
         # staging as it was written)
         flat_staging=bool(info.get("flat_staging", False)),
         filesystem=cfg.staging_filesystem,
+        staging_format=info.get("staging_format", "rows"),
     )
     pending = [b for b in sorted(bucket_rows) if b not in done]
     batch_size = cfg.bucket_batch_size or len(pending) or 1
@@ -884,10 +1140,18 @@ def append_postings(
         max_docs_per_subpartition=(cfg or PostingsConfig()).max_docs_per_subpartition,
         bucket_batch_size=(cfg or PostingsConfig()).bucket_batch_size,
         jvm_tokenizer=(cfg or PostingsConfig()).jvm_tokenizer,
+        flat_staging_max_docs=(cfg or PostingsConfig()).flat_staging_max_docs,
+        encode_rows_per_task=(cfg or PostingsConfig()).encode_rows_per_task,
+        staging_filesystem=(cfg or PostingsConfig()).staging_filesystem,
+        # a positional base forces row staging for the segment too (blobs
+        # carry no positions); otherwise the caller's choice governs
+        staging_format=("rows" if base_info.get("store_positions")
+                        else (cfg or PostingsConfig()).staging_format),
         # segments inherit the base layout — a positional index stays
         # phrase-queryable across its merged-on-read view
         store_positions=bool(base_info.get("store_positions", False)),
     )
+    _check_staging_cfg(seg_cfg)
     fp_row = _corpus_fingerprint_row(new_pages_with_ids, text_col)
     if fp_row["n"] == 0:
         raise ValueError("append_postings called with an empty page set")
@@ -911,6 +1175,9 @@ def append_postings(
     bm25 = BM25Config(base_info["k1"], base_info["b"])
 
     def tokens_factory() -> DataFrame:
+        if seg_cfg.staging_format == "blobs":
+            return tokens_blobs(new_pages_with_ids, vocab,
+                                seg_cfg.num_partitions, text_col)
         if seg_cfg.jvm_tokenizer and not seg_cfg.store_positions:
             return tokens_long_jvm(new_pages_with_ids, vocab, text_col)
         return tokens_long(new_pages_with_ids, vocab, text_col,
@@ -1077,6 +1344,11 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
         num_partitions=base["num_partitions"],
         skew_df_threshold=base["skew_df_threshold"],
         store_positions=bool(base.get("store_positions", False)),
+        # a blob-built base merges through blob staging too (the decoded
+        # rows re-pack in their decode worker, one extra in-worker hop —
+        # the merge exchange then moves blob rows, same as the build's)
+        staging_format=("rows" if base.get("store_positions")
+                        else base.get("staging_format", "rows")),
     )
     decoded = _decoded_tokens_factory(spark, [live] + segs,
                                       with_positions=cfg.store_positions)
@@ -1094,6 +1366,11 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
 
         decoded = decoded_minus_tombstones
         fingerprint += f":deleted={tomb_count}"
+    if cfg.staging_format == "blobs":
+        row_factory = decoded
+
+        def decoded():  # noqa: F811 - deliberate factory re-wrap
+            return rows_to_blobs(row_factory(), cfg.num_partitions)
     # resumable target: same inputs -> same version dir (re-run after a
     # crash picks up the partial build via the bucket manifest)
     version = cl.version_name(

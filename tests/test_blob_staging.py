@@ -1,0 +1,214 @@
+"""staging_format="blobs": packed-token staging must be indistinguishable
+from row staging in every observable — postings blocks, term stats, BM25
+ranks — and its Python-side bucket hash must agree bit-for-bit with the
+JVM expression used by query-time partition pruning."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pears_fruit_fly_spark.config import PostingsConfig
+from pears_fruit_fly_spark.operators.docids import assign_doc_ids
+from pears_fruit_fly_spark.operators.postings import (
+    append_postings,
+    build_postings,
+    merge_segments,
+    pack_token_blobs,
+    read_postings,
+    read_term_stats,
+    term_buckets_py,
+    tokens_blobs,
+    tokens_long,
+    unpack_token_blob,
+    xxhash64_long,
+)
+from pears_fruit_fly_spark.plans import manifest as mf
+from pears_fruit_fly_spark.sources.wet import dedup_latest
+
+
+@pytest.fixture(scope="module")
+def pages_ids(spark, pages_df):
+    clean = dedup_latest(pages_df)
+    ids = assign_doc_ids(clean, "url")
+    return clean.join(ids, "url").persist()
+
+
+# ---------------------------------------------------------------- hashing
+
+def test_xxhash64_parity_with_jvm(spark):
+    """term_buckets_py must equal pmod(xxhash64(term_id), P) exactly —
+    blob staging buckets in Python, query pruning buckets in the JVM."""
+    vals = np.array(
+        [0, 1, -1, 7, 12345, -98765, 2**31 - 1, -(2**31), 2**63 - 1,
+         -(2**63), 424242, 31337]
+        + list(range(-50, 50, 7)),
+        dtype=np.int64,
+    )
+    df = spark.createDataFrame([(int(v),) for v in vals], "term_id long")
+    for P in (8, 32, 257):
+        jvm = {
+            r["term_id"]: r["b"]
+            for r in df.select(
+                "term_id",
+                F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int").alias("b"),
+            ).collect()
+        }
+        py = term_buckets_py(vals, P)
+        for v, b in zip(vals, py):
+            assert jvm[int(v)] == int(b), (v, P)
+    # raw hash parity too (not just mod-P)
+    jvm_h = {
+        r["term_id"]: r["h"]
+        for r in df.select("term_id", F.xxhash64("term_id").alias("h")).collect()
+    }
+    for v, h in zip(vals, xxhash64_long(vals)):
+        assert jvm_h[int(v)] == int(h), v
+
+
+# ------------------------------------------------------------- blob codec
+
+def test_blob_pack_unpack_roundtrip():
+    rng = np.random.default_rng(11)
+    n = 5000
+    out = {
+        "doc_id": rng.integers(0, 10**9, n).astype(np.int64),
+        "term_id": rng.integers(0, 5000, n).astype(np.int32),
+        "tf": rng.integers(1, 50, n).astype(np.int32),
+        "dl": rng.integers(1, 2000, n).astype(np.int64),
+    }
+    P = 16
+    pdf = pack_token_blobs(out, P)
+    # every bucket row unpacks to rows whose python-side bucket matches
+    got = []
+    for _, row in pdf.iterrows():
+        d, t, tf, dl = unpack_token_blob(row["blob"])
+        assert len(d) == row["n"]
+        b = term_buckets_py(t.astype(np.int64), P)
+        assert (b == row["term_bucket"]).all()
+        got.append(np.stack([d, t.astype(np.int64), tf.astype(np.int64), dl]))
+    got_all = np.concatenate(got, axis=1)
+    want = np.stack(
+        [out["doc_id"], out["term_id"].astype(np.int64),
+         out["tf"].astype(np.int64), out["dl"]]
+    )
+    # same multiset of (doc, term, tf, dl) rows
+    assert (
+        sorted(map(tuple, got_all.T.tolist()))
+        == sorted(map(tuple, want.T.tolist()))
+    )
+
+
+def test_blob_bad_magic_fails_loud():
+    with pytest.raises(ValueError, match="magic"):
+        unpack_token_blob(b"XXXX" + b"\x00" * 16)
+
+
+def test_tokens_blobs_equals_tokens_long(spark, pages_ids, vocab):
+    """Unpacking the fused tokenize+pack output must give the exact token
+    table of the row path."""
+    P = 8
+    want = {
+        (r["doc_id"], r["term_id"]): (r["tf"], r["dl"])
+        for r in tokens_long(pages_ids, vocab).collect()
+    }
+    got = {}
+    for r in tokens_blobs(pages_ids, vocab, P).collect():
+        d, t, tf, dl = unpack_token_blob(bytes(r["blob"]))
+        assert len(d) == r["n"]
+        for i in range(len(d)):
+            got[(int(d[i]), int(t[i]))] = (int(tf[i]), int(dl[i]))
+    assert got == want
+
+
+# ------------------------------------------------- build/append identity
+
+def _postings_snapshot(spark, index_dir):
+    blocks = {}
+    for r in read_postings(spark, index_dir).collect():
+        key = (r["term_id"], r["salt"], r["block_id"])
+        assert key not in blocks
+        blocks[key] = (
+            r["n"], r["first_doc"], r["last_doc"],
+            bytes(r["doc_gaps"]), bytes(r["tfs"]), bytes(r["dls"]),
+            r["max_tf"], round(r["max_impact"], 9),
+        )
+    stats = {
+        r["term_id"]: (r["df"], r["cf"], r["term_bucket"])
+        for r in read_term_stats(spark, index_dir).collect()
+    }
+    return blocks, stats
+
+
+def _cfg(fmt):
+    return PostingsConfig(
+        num_partitions=8, skew_df_threshold=50, max_docs_per_subpartition=40,
+        staging_format=fmt,
+    )
+
+
+@pytest.fixture(scope="module")
+def twin_indexes(spark, pages_ids, vocab, tmp_path_factory):
+    """The same corpus built through both staging formats."""
+    dirs = {}
+    for fmt in ("rows", "blobs"):
+        d = str(tmp_path_factory.mktemp(f"idx_{fmt}"))
+        build_postings(spark, pages_ids, vocab, d, cfg=_cfg(fmt))
+        dirs[fmt] = d
+    return dirs
+
+
+def test_blob_build_identical_to_rows(spark, twin_indexes):
+    rows_snap = _postings_snapshot(spark, twin_indexes["rows"])
+    blob_snap = _postings_snapshot(spark, twin_indexes["blobs"])
+    assert blob_snap[0] == rows_snap[0]  # every block byte-identical
+    assert blob_snap[1] == rows_snap[1]  # term stats identical
+
+
+def test_blob_build_info_records_format(spark, twin_indexes):
+    assert mf.read_build_info(twin_indexes["blobs"])["staging_format"] == "blobs"
+    assert mf.read_build_info(twin_indexes["rows"])["staging_format"] == "rows"
+
+
+def test_blob_append_and_merge_identical(spark, pages_ids, vocab,
+                                         tmp_path_factory):
+    """Base+append+merge through blob staging == the same through rows."""
+    base = pages_ids.filter(F.col("doc_id") < 200)
+    extra = (
+        pages_ids.filter(F.col("doc_id") >= 200)
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    )
+    snaps = {}
+    for fmt in ("rows", "blobs"):
+        d = str(tmp_path_factory.mktemp(f"app_{fmt}"))
+        build_postings(spark, base, vocab, d, cfg=_cfg(fmt))
+        append_postings(spark, extra, vocab, d, cfg=_cfg(fmt))
+        merge_segments(spark, d)
+        snaps[fmt] = _postings_snapshot(spark, d)
+    assert snaps["blobs"][0] == snaps["rows"][0]
+    assert snaps["blobs"][1] == snaps["rows"][1]
+
+
+# ------------------------------------------------------------ validation
+
+def test_blob_rejects_positions():
+    with pytest.raises(ValueError, match="position"):
+        from pears_fruit_fly_spark.operators.postings import _check_staging_cfg
+        _check_staging_cfg(
+            PostingsConfig(staging_format="blobs", store_positions=True)
+        )
+
+
+def test_blob_rejects_jvm_tokenizer():
+    from pears_fruit_fly_spark.operators.postings import _check_staging_cfg
+    with pytest.raises(ValueError, match="jvm"):
+        _check_staging_cfg(
+            PostingsConfig(staging_format="blobs", jvm_tokenizer=True)
+        )
+
+
+def test_bad_staging_format_rejected():
+    from pears_fruit_fly_spark.operators.postings import _check_staging_cfg
+    with pytest.raises(ValueError, match="staging_format"):
+        _check_staging_cfg(PostingsConfig(staging_format="zip"))
