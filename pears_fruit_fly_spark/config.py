@@ -83,7 +83,9 @@ class PostingsConfig:
     # here and every bucket read resolves through it (scheme prefix is
     # stripped from paths before they are handed over). None (default):
     # pyarrow infers the filesystem from the staging path itself.
-    staging_format: str = "rows"  # "rows" (default) = staged tokens are
+    staging_format: str = "auto"  # "auto" (default) resolves to "blobs"
+    # whenever the build can use it (no positions, no jvm_tokenizer) and
+    # "rows" otherwise. "rows" = staged tokens are
     # one parquet row per (doc, term) — the layout every tool can read.
     # "blobs" = the tokenize kernel packs each batch's tokens into ONE
     # binary cell per term bucket before they leave the Python worker

@@ -330,36 +330,59 @@ _XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
 _XXH_P5 = np.uint64(0x27D4EB2F165667C5)
 
 
+def _xxh_fmix(acc: np.ndarray) -> np.ndarray:
+    acc ^= acc >> np.uint64(33)
+    acc *= _XXH_P2
+    acc ^= acc >> np.uint64(29)
+    acc *= _XXH_P3
+    acc ^= acc >> np.uint64(32)
+    return acc
+
+
+def _xxh_rotl(v: np.ndarray, r: int) -> np.ndarray:
+    return (v << np.uint64(r)) | (v >> np.uint64(64 - r))
+
+
 def xxhash64_long(x: np.ndarray, seed: int = 42) -> np.ndarray:
     """Vectorized replica of Spark's ``xxhash64`` over a LongType column
-    (XXH64 of the 8 little-endian bytes, Spark's default seed 42).
-
-    Needed because blob staging assigns term buckets INSIDE the Python
-    tokenize kernel, while query-time partition pruning (bm25.py) computes
-    the bucket with the JVM expression ``pmod(xxhash64(term_id), P)`` —
-    the two must agree bit for bit (parity pinned against F.xxhash64 in
-    tests/test_postings.py)."""
-
-    def rotl(v: np.ndarray, r: int) -> np.ndarray:
-        return (v << np.uint64(r)) | (v >> np.uint64(64 - r))
-
+    (XXH64 ``hashLong``: the value as 8 bytes, Spark's default seed 42)."""
     with np.errstate(over="ignore"):
         acc = np.uint64(seed) + _XXH_P5 + np.uint64(8)
-        k1 = rotl(x.astype(np.int64).view(np.uint64) * _XXH_P2, 31) * _XXH_P1
+        k1 = _xxh_rotl(
+            x.astype(np.int64).view(np.uint64) * _XXH_P2, 31
+        ) * _XXH_P1
         acc = acc ^ k1
-        acc = rotl(acc, 27) * _XXH_P1 + _XXH_P4
-        acc ^= acc >> np.uint64(33)
-        acc *= _XXH_P2
-        acc ^= acc >> np.uint64(29)
-        acc *= _XXH_P3
-        acc ^= acc >> np.uint64(32)
+        acc = _xxh_rotl(acc, 27) * _XXH_P1 + _XXH_P4
+        acc = _xxh_fmix(acc)
+    return acc.view(np.int64)
+
+
+def xxhash64_int(x: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Vectorized replica of Spark's ``xxhash64`` over an IntegerType
+    column (XXH64 ``hashInt``: the value zero-extended to an unsigned
+    4-byte word — NOT the same stream as hashLong of the same value).
+
+    This is the variant that matters for bucketing: term_id is
+    IntegerType in every staged/stats schema, so the JVM expression
+    ``pmod(xxhash64(term_id), P)`` takes the int path. Round 5 found
+    multi-round blob builds silently losing postings because the packer
+    bucketed with the LONG variant: a term staged under its Python
+    bucket but rewritten under its (different) JVM bucket was clobbered
+    when a later encode round dynamically overwrote that partition."""
+    with np.errstate(over="ignore"):
+        u = x.astype(np.int32).view(np.uint32).astype(np.uint64)
+        acc = np.uint64(seed) + _XXH_P5 + np.uint64(4)
+        acc = acc ^ (u * _XXH_P1)
+        acc = _xxh_rotl(acc, 23) * _XXH_P2 + _XXH_P3
+        acc = _xxh_fmix(acc)
     return acc.view(np.int64)
 
 
 def term_buckets_py(term_ids: np.ndarray, P: int) -> np.ndarray:
-    """pmod(xxhash64(term_id), P) — the Python twin of the JVM bucket
-    expression used everywhere else in the build/query path."""
-    h = xxhash64_long(term_ids.astype(np.int64))
+    """pmod(xxhash64(term_id), P) for an INT term_id column — the Python
+    twin of the JVM bucket expression used everywhere else in the
+    build/query path (parity pinned in tests/test_blob_staging.py)."""
+    h = xxhash64_int(term_ids)
     return ((h % P) + P) % P
 
 
@@ -371,7 +394,7 @@ def pack_token_blobs(out: dict, P: int) -> pd.DataFrame:
                      | tf int32[n] | dl int64[n]
     """
     term = np.ascontiguousarray(out["term_id"], dtype=np.int32)
-    bucket = term_buckets_py(term.astype(np.int64), P)
+    bucket = term_buckets_py(term, P)
     order = np.argsort(bucket, kind="stable")
     b_sorted = bucket[order]
     doc = np.ascontiguousarray(out["doc_id"], dtype=np.int64)[order]
@@ -755,7 +778,7 @@ def build_postings(
     fingerprint = f"{int(fp_row['n'])}:{fp_row['h'] if fp_row['h'] is not None else 0}"
 
     def tokens_factory() -> DataFrame:
-        if cfg.staging_format == "blobs":
+        if resolve_staging_format(cfg) == "blobs":
             # fused tokenize + per-bucket pack in one Python eval
             return tokens_blobs(pages_with_ids, vocab, cfg.num_partitions,
                                 text_col)
@@ -778,12 +801,25 @@ def build_postings(
     return info
 
 
+def resolve_staging_format(cfg: PostingsConfig) -> str:
+    """"auto" (the default) -> "blobs" whenever the build can use it; the
+    packed format carries no positions and packs inside the Python
+    tokenize kernel, so positional or JVM-tokenized builds fall back to
+    row staging. Explicit values pass through (and are validated by
+    _check_staging_cfg: an explicit "blobs" + positions is an error,
+    not a silent fallback)."""
+    if cfg.staging_format == "auto":
+        return ("rows" if (cfg.store_positions or cfg.jvm_tokenizer)
+                else "blobs")
+    return cfg.staging_format
+
+
 def _check_staging_cfg(cfg: PostingsConfig) -> None:
     """Fail fast on unusable staging configurations — BEFORE the
     fingerprint scan runs, not three stages into the build."""
-    if cfg.staging_format not in ("rows", "blobs"):
+    if cfg.staging_format not in ("auto", "rows", "blobs"):
         raise ValueError(
-            f"staging_format must be 'rows' or 'blobs', "
+            f"staging_format must be 'auto', 'rows' or 'blobs', "
             f"got {cfg.staging_format!r}"
         )
     if cfg.staging_format == "blobs":
@@ -1175,7 +1211,7 @@ def append_postings(
     bm25 = BM25Config(base_info["k1"], base_info["b"])
 
     def tokens_factory() -> DataFrame:
-        if seg_cfg.staging_format == "blobs":
+        if resolve_staging_format(seg_cfg) == "blobs":
             return tokens_blobs(new_pages_with_ids, vocab,
                                 seg_cfg.num_partitions, text_col)
         if seg_cfg.jvm_tokenizer and not seg_cfg.store_positions:

@@ -39,14 +39,16 @@ def pages_ids(spark, pages_df):
 
 def test_xxhash64_parity_with_jvm(spark):
     """term_buckets_py must equal pmod(xxhash64(term_id), P) exactly —
-    blob staging buckets in Python, query pruning buckets in the JVM."""
-    vals = np.array(
-        [0, 1, -1, 7, 12345, -98765, 2**31 - 1, -(2**31), 2**63 - 1,
-         -(2**63), 424242, 31337]
+    blob staging buckets in Python, query pruning buckets in the JVM.
+    term_id is IntegerType in every staged/stats schema, so parity is
+    pinned on an INT column (Spark's hashInt differs from hashLong of
+    the same value — the round-5 lost-postings bug)."""
+    ivals = np.array(
+        [0, 1, -1, 7, 12345, -98765, 2**31 - 1, -(2**31), 424242, 31337]
         + list(range(-50, 50, 7)),
-        dtype=np.int64,
+        dtype=np.int32,
     )
-    df = spark.createDataFrame([(int(v),) for v in vals], "term_id long")
+    df = spark.createDataFrame([(int(v),) for v in ivals], "term_id int")
     for P in (8, 32, 257):
         jvm = {
             r["term_id"]: r["b"]
@@ -55,16 +57,35 @@ def test_xxhash64_parity_with_jvm(spark):
                 F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int").alias("b"),
             ).collect()
         }
-        py = term_buckets_py(vals, P)
-        for v, b in zip(vals, py):
+        py = term_buckets_py(ivals, P)
+        for v, b in zip(ivals, py):
             assert jvm[int(v)] == int(b), (v, P)
-    # raw hash parity too (not just mod-P)
-    jvm_h = {
+    # raw hash parity for both width variants
+    from pears_fruit_fly_spark.operators.postings import xxhash64_int
+
+    jvm_hi = {
         r["term_id"]: r["h"]
         for r in df.select("term_id", F.xxhash64("term_id").alias("h")).collect()
     }
-    for v, h in zip(vals, xxhash64_long(vals)):
-        assert jvm_h[int(v)] == int(h), v
+    for v, h in zip(ivals, xxhash64_int(ivals)):
+        assert jvm_hi[int(v)] == int(h), v
+    lvals = np.array(
+        [0, 1, -1, 7, 12345, -98765, 2**63 - 1, -(2**63), 424242],
+        dtype=np.int64,
+    )
+    dfl = spark.createDataFrame([(int(v),) for v in lvals], "term_id long")
+    jvm_hl = {
+        r["term_id"]: r["h"]
+        for r in dfl.select(
+            "term_id", F.xxhash64("term_id").alias("h")
+        ).collect()
+    }
+    for v, h in zip(lvals, xxhash64_long(lvals)):
+        assert jvm_hl[int(v)] == int(h), v
+    # the two variants REALLY differ (guards against collapsing them)
+    assert int(xxhash64_int(np.array([7], np.int32))[0]) != int(
+        xxhash64_long(np.array([7], np.int64))[0]
+    )
 
 
 # ------------------------------------------------------------- blob codec
@@ -212,3 +233,24 @@ def test_bad_staging_format_rejected():
     from pears_fruit_fly_spark.operators.postings import _check_staging_cfg
     with pytest.raises(ValueError, match="staging_format"):
         _check_staging_cfg(PostingsConfig(staging_format="zip"))
+
+
+def test_auto_resolution():
+    """The default "auto" picks blobs whenever the build can use it and
+    falls back to rows for positional / JVM-tokenized builds (explicit
+    "blobs" in those combinations errors instead — no silent fallback)."""
+    from pears_fruit_fly_spark.operators.postings import (
+        _check_staging_cfg,
+        resolve_staging_format,
+    )
+    assert PostingsConfig().staging_format == "auto"
+    assert resolve_staging_format(PostingsConfig()) == "blobs"
+    assert resolve_staging_format(
+        PostingsConfig(store_positions=True)) == "rows"
+    assert resolve_staging_format(
+        PostingsConfig(jvm_tokenizer=True)) == "rows"
+    assert resolve_staging_format(
+        PostingsConfig(staging_format="rows")) == "rows"
+    # auto never errors
+    _check_staging_cfg(PostingsConfig(store_positions=True))
+    _check_staging_cfg(PostingsConfig(jvm_tokenizer=True))

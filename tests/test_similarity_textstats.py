@@ -123,7 +123,6 @@ def test_multimodal_decode_and_frames(spark):
     from pears_fruit_fly_spark.operators.multimodal import (
         FEATURE_DIM,
         decode_media,
-        decode_media_real,
         frame_sample,
         make_media_fixture,
     )
@@ -147,9 +146,9 @@ def test_multimodal_decode_and_frames(spark):
     assert frames and all(r["frame_idx"] >= 0 for r in frames)
     vids = {r["media_id"] for r in media.filter("kind = 'video'").collect()}
     assert {r["media_id"] for r in frames} <= vids
-
-    with pytest.raises(NotImplementedError):
-        decode_media_real(media).collect()
+    # decode_media_real (the pillow-gated compressed-format path) is
+    # covered in tests/test_multimodal_codecs.py — fail-fast without
+    # pillow, PNG/JPEG parity with it.
 
 
 def test_streaming_signature_append(spark, tmp_path, vocab, fly_cfg, pages_pdf):
