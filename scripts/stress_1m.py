@@ -66,22 +66,48 @@ def write_corpus(n_docs: int, out_dir: str, seed0: int,
         del pdf
 
 
-def check_rank_identity(spark, index_dir, vocab, queries, k=10):
-    """WAND vs relational scorer: doc-id sequence identical, scores equal
-    to 1e-6 (both paths honor tombstones; both read the live version)."""
+def check_rank_identity(spark, index_dir, vocab, queries, stats_pages,
+                        excluded=None, k=10):
+    """WAND over the index bytes vs a fully independent path: raw corpus
+    text -> tokens_long -> relational BM25 (plain DataFrame algebra, the
+    test-suite oracle twin). doc-id sequence identical, scores equal to
+    1e-6.
+
+    stats_pages: the corpus whose collection statistics the index is
+    currently serving with (the engine's documented stale-stats contract:
+    pre-merge, tombstoned docs still count toward N/avgdl/df).
+    excluded: DataFrame of tombstoned doc ids — filtered from the
+    relational result AFTER scoring, mirroring liveDocs semantics.
+    """
+    from pyspark.sql import functions as F
+
     from pears_fruit_fly_spark.operators.bm25 import (
-        bm25_topk_relational,
+        bm25_scores_relational,
         bm25_topk_wand,
+        query_term_counts,
     )
+    from pears_fruit_fly_spark.operators.postings import tokens_long
+
+    tokens = tokens_long(stats_pages, vocab).persist()
+    n_docs = stats_pages.count()
+    sum_dl = (tokens.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+              .agg(F.sum("dl")).collect()[0][0])
+    avgdl = float(sum_dl) / max(1, n_docs)
 
     for qtext in queries:
         wand = bm25_topk_wand(spark, index_dir, qtext, vocab, k=k,
                               n_ranges=CPUS).collect()
-        rel = bm25_topk_relational(spark, index_dir, qtext, vocab,
-                                   k=k).collect()
+        q = query_term_counts(qtext, vocab)
+        scores = bm25_scores_relational(tokens, q, n_docs, avgdl)
+        if excluded is not None:
+            scores = scores.join(excluded.select("doc_id"), "doc_id",
+                                 "left_anti")
+        rel = (scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+               .collect())
         w = [(r["doc_id"], round(r["score"], 6)) for r in wand]
         r_ = [(r["doc_id"], round(r["score"], 6)) for r in rel]
         assert w == r_, (qtext, w[:3], r_[:3])
+    tokens.unpersist()
     return len(queries)
 
 
@@ -151,7 +177,7 @@ def main() -> None:
 
     qset = make_queries(v=2000)
     queries = [qset.iloc[i].query_text for i in (0, 17, 44, 81)]
-    check_rank_identity(spark, index_dir, vocab, queries)
+    check_rank_identity(spark, index_dir, vocab, queries, base_ids)
     print("rank identity after build: OK", flush=True)
 
     extra_pages = dedup_latest(spark.read.parquet(extra_dir))
@@ -165,19 +191,21 @@ def main() -> None:
     extra_ids.write.mode("overwrite").parquet(work + "/extra_ids")
     extra_ids = spark.read.parquet(work + "/extra_ids")
     n_extra_live = extra_ids.count()
+    all_ids = base_ids.unionByName(extra_ids)
     t0 = time.time()
     append_postings(spark, extra_ids, vocab, index_dir, cfg=cfg)
     timings["append_100k"] = round(time.time() - t0, 1)
-    check_rank_identity(spark, index_dir, vocab, queries)
+    check_rank_identity(spark, index_dir, vocab, queries, all_ids)
     print(f"append {n_extra_live}: {timings['append_100k']}s; "
           "rank identity: OK", flush=True)
 
-    all_ids = base_ids.unionByName(extra_ids)
     victims = all_ids.filter("doc_id % 10 = 4").select("doc_id")
     t0 = time.time()
     n_tomb = delete_docs(spark, index_dir, victims)
     timings["delete_10pct"] = round(time.time() - t0, 1)
-    check_rank_identity(spark, index_dir, vocab, queries)
+    # stale-stats contract: N/avgdl/df still include the tombstoned docs
+    check_rank_identity(spark, index_dir, vocab, queries, all_ids,
+                        excluded=victims)
     top = bm25_topk_wand(spark, index_dir, queries[0], vocab, k=100,
                          n_ranges=CPUS).collect()
     assert all(r["doc_id"] % 10 != 4 for r in top), "tombstoned doc served"
@@ -187,7 +215,9 @@ def main() -> None:
     t0 = time.time()
     merge_segments(spark, index_dir)
     timings["merge"] = round(time.time() - t0, 1)
-    check_rank_identity(spark, index_dir, vocab, queries)
+    # merge purges tombstones and recomputes global stats over survivors
+    survivors = all_ids.filter("doc_id % 10 != 4")
+    check_rank_identity(spark, index_dir, vocab, queries, survivors)
     top = bm25_topk_wand(spark, index_dir, queries[0], vocab, k=100,
                          n_ranges=CPUS).collect()
     assert all(r["doc_id"] % 10 != 4 for r in top), "purged doc resurfaced"
