@@ -870,7 +870,25 @@ def bm25_topk_wand_batch(
         ),
     )
 
-    b_qweights = spark.sparkContext.broadcast(qweights)
+    if not qweights:
+        return spark.createDataFrame([], BATCH_SCORE_SCHEMA)
+
+    # flatten the query->term weights into parallel (qid, term, w) arrays,
+    # qid-major in dict insertion order, terms in per-query weight order —
+    # the scoring kernel joins them against the decoded term segments with
+    # searchsorted instead of looping queries in Python, and THIS order is
+    # what keeps per-(query, doc) float addition order (and therefore
+    # scores) bit-identical to the old per-query loop
+    p_qids = np.array(
+        [qid for qid, w in qweights.items() for _ in w], dtype=np.int64
+    )
+    p_terms = np.array(
+        [t for w in qweights.values() for t in w], dtype=np.int64
+    )
+    p_w = np.array(
+        [x for w in qweights.values() for x in w.values()], dtype=np.float64
+    )
+    b_qflat = spark.sparkContext.broadcast((p_qids, p_terms, p_w))
     b_excl = spark.sparkContext.broadcast(tombstones)
 
     def _score_group_inner(pdf: pd.DataFrame, excl) -> pd.DataFrame:
@@ -899,35 +917,64 @@ def bm25_topk_wand_batch(
         )
         uniq_t, t_starts = np.unique(t_s, return_index=True)
         bounds = np.concatenate([t_starts, [t_s.size]])
-        decoded = {
-            int(t): (ids_s[a:z], imp_s[a:z])
-            for t, a, z in zip(uniq_t, bounds[:-1], bounds[1:])
-        }
-        out_q, out_d, out_s = [], [], []
-        for qid, weights in b_qweights.value.items():
-            hits_i, hits_s = [], []
-            for t, w in weights.items():
-                got = decoded.get(t)
-                if got is None:
-                    continue
-                hits_i.append(got[0])
-                hits_s.append(got[1] * w)
-            if not hits_i:
-                continue
-            ids = np.concatenate(hits_i)
-            scores = np.concatenate(hits_s)
-            uniq, inv = np.unique(ids, return_inverse=True)
-            totals = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(totals, inv, scores)
-            if uniq.size > k:
-                # local top-k with (score desc, doc asc) tie order
-                order = np.lexsort((uniq, -totals))[:k]
-            else:
-                order = np.lexsort((uniq, -totals))
-            out_q.extend([qid] * order.size)
-            out_d.extend(uniq[order].tolist())
-            out_s.extend(totals[order].tolist())
-        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+        # ---- vectorized multi-query scoring (r5) -----------------------
+        # The old shape looped queries in Python (fine at 40, hot at
+        # 4000). Instead: join the flat (qid, term, w) pairs against the
+        # decoded term segments, gather every (pair x posting)
+        # contribution with one take, and aggregate per (qid, doc) with
+        # reduceat. Stable sorts keep each (qid, doc) group's
+        # contributions in the same term order as the old concat loop, so
+        # float addition order — and every score bit — is unchanged
+        # (asserted vs the single-query WAND path in tests).
+        p_qids, p_terms, p_w = b_qflat.value
+        pos = np.searchsorted(uniq_t, p_terms)
+        ok = pos < uniq_t.size
+        pos_c = np.where(ok, pos, 0)
+        ok &= uniq_t[pos_c] == p_terms
+        if not ok.any():
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        seg = pos_c[ok]
+        seg_a = bounds[seg]
+        seg_len = bounds[seg + 1] - seg_a
+        total = int(seg_len.sum())
+        if total == 0:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        # vectorized multi-arange: postings of pair i occupy
+        # ids_s[seg_a[i] : seg_a[i] + seg_len[i]]
+        flat_starts = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+        take = (
+            np.repeat(seg_a, seg_len)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(flat_starts, seg_len)
+        )
+        doc_flat = ids_s[take]
+        contrib = imp_s[take] * np.repeat(p_w[ok], seg_len)
+        qid_flat = np.repeat(p_qids[ok], seg_len)
+
+        order = np.lexsort((doc_flat, qid_flat))  # stable: term order kept
+        qs, ds, cs = qid_flat[order], doc_flat[order], contrib[order]
+        new_grp = np.empty(qs.size, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (qs[1:] != qs[:-1]) | (ds[1:] != ds[:-1])
+        g_starts = np.flatnonzero(new_grp)
+        totals = np.add.reduceat(cs, g_starts)
+        qid_u, doc_u = qs[g_starts], ds[g_starts]
+
+        # per-query top-k, ties (score desc, doc asc)
+        order2 = np.lexsort((doc_u, -totals, qid_u))
+        q_sorted = qid_u[order2]
+        q_new = np.empty(q_sorted.size, dtype=bool)
+        q_new[0] = True
+        q_new[1:] = q_sorted[1:] != q_sorted[:-1]
+        q_start = np.flatnonzero(q_new)
+        q_count = np.diff(np.append(q_start, q_sorted.size))
+        rank = np.arange(q_sorted.size) - np.repeat(q_start, q_count)
+        sel = order2[rank < k]
+        return pd.DataFrame(
+            {"query_id": qid_u[sel], "doc_id": doc_u[sel],
+             "score": totals[sel]}
+        )
 
     if tomb_distributed:
         # large delete sets: per-range tombstone slices cogrouped in, same
