@@ -141,14 +141,22 @@ def main() -> None:
     from pears_fruit_fly_spark.sources.wet import dedup_latest
 
     t_all = time.time()
-    base_dir = tempfile.mkdtemp(prefix="stress_base_")
-    extra_dir = tempfile.mkdtemp(prefix="stress_extra_")
-    print(f"generating {n_base}+{n_append} docs ...", flush=True)
-    write_corpus(n_base, base_dir, seed0=1000)
-    write_corpus(n_append, extra_dir, seed0=2000,
-                 url_prefix="https://append.")
+    # STRESS_BASE_DIR / STRESS_EXTRA_DIR: reuse a previously generated
+    # corpus (generation is ~10 min of single-threaded pandas at 1M docs;
+    # the corpus is deterministic, so reuse is safe for same n_docs)
+    base_dir = os.environ.get("STRESS_BASE_DIR")
+    extra_dir = os.environ.get("STRESS_EXTRA_DIR")
+    if base_dir and extra_dir and os.path.isdir(base_dir):
+        print(f"reusing corpus: {base_dir} + {extra_dir}", flush=True)
+    else:
+        base_dir = tempfile.mkdtemp(prefix="stress_base_")
+        extra_dir = tempfile.mkdtemp(prefix="stress_extra_")
+        print(f"generating {n_base}+{n_append} docs ...", flush=True)
+        write_corpus(n_base, base_dir, seed0=1000)
+        write_corpus(n_append, extra_dir, seed0=2000,
+                     url_prefix="https://append.")
     gen_s = time.time() - t_all
-    print(f"corpus written in {gen_s:.0f}s", flush=True)
+    print(f"corpus ready in {gen_s:.0f}s", flush=True)
 
     spark = get_spark("stress-1m", master=f"local[{CPUS}]",
                       shuffle_partitions=N_PARTS)
