@@ -178,6 +178,13 @@ def run_level(cpus: int, corpus: str) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    # SCALING_LEVELS="2,8": alternate N/4N pair for days when the
+    # hypervisor does not deliver 32 effective cores (the probe and the
+    # no-Spark control both collapse at 32 threads on such days — see
+    # BASELINE.md host-variance notes). The pair must keep the 4x ratio.
+    lo, hi = (int(x) for x in
+              os.environ.get("SCALING_LEVELS", "8,32").split(","))
+    assert hi == 4 * lo, "levels must be N,4N"
     import tempfile
 
     import pyarrow as pa
@@ -205,41 +212,41 @@ def main() -> None:
     from pears_fruit_fly_spark.functions.vocab import parse_vocab_lines
 
     vocab_terms = list(parse_vocab_lines(make_vocab_file_lines(2000)).terms)
-    ctl = {p: tokenize_control(pdf, vocab_terms, p) for p in (8, 32)}
-    eff_ctl = (ctl[8] / ctl[32]) / 4
+    ctl = {p: tokenize_control(pdf, vocab_terms, p) for p in (lo, hi)}
+    eff_ctl = (ctl[lo] / ctl[hi]) / 4
 
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         r = run_level(cpus, corpus_dir)
         results[cpus] = r
         print(f"local[{cpus}]: sig {r['sig_s']:.1f}s "
               f"({n_docs / r['sig_s']:.0f} docs/s), "
               f"index {r['idx_s']:.1f}s ({n_docs / r['idx_s']:.0f} docs/s)")
 
-    eff_sig = (results[8]["sig_s"] / results[32]["sig_s"]) / 4
-    eff_idx = (results[8]["idx_s"] / results[32]["idx_s"]) / 4
-    eff_probe = (results[8]["probe_s"] / results[32]["probe_s"]) / 4
-    eff_shuffle = (results[8]["shuffle_s"] / results[32]["shuffle_s"]) / 4
+    eff_sig = (results[lo]["sig_s"] / results[hi]["sig_s"]) / 4
+    eff_idx = (results[lo]["idx_s"] / results[hi]["idx_s"]) / 4
+    eff_probe = (results[lo]["probe_s"] / results[hi]["probe_s"]) / 4
+    eff_shuffle = (results[lo]["shuffle_s"] / results[hi]["shuffle_s"]) / 4
     out = {
         "n_docs": n_docs,
         "plan_constants": {"input_files": N_FILES, "shuffle_partitions": N_PARTS,
                            "term_buckets": N_PARTS},
-        "local8": results[8],
-        "local32": results[32],
+        f"local{lo}": results[lo],
+        f"local{hi}": results[hi],
         "sig_docs_per_sec": {
-            "local8": round(n_docs / results[8]["sig_s"], 1),
-            "local32": round(n_docs / results[32]["sig_s"], 1),
+            f"local{lo}": round(n_docs / results[lo]["sig_s"], 1),
+            f"local{hi}": round(n_docs / results[hi]["sig_s"], 1),
         },
         "index_docs_per_sec": {
-            "local8": round(n_docs / results[8]["idx_s"], 1),
-            "local32": round(n_docs / results[32]["idx_s"], 1),
+            f"local{lo}": round(n_docs / results[lo]["idx_s"], 1),
+            f"local{hi}": round(n_docs / results[hi]["idx_s"], 1),
         },
         "scaling_efficiency_sig": round(eff_sig, 3),
         "scaling_efficiency_index": round(eff_idx, 3),
         "scaling_efficiency_fixed_task_probe": round(eff_probe, 3),
         "scaling_efficiency_shuffle_probe": round(eff_shuffle, 3),
-        "tokenize_kernel_control_s": {"procs8": round(ctl[8], 2),
-                                      "procs32": round(ctl[32], 2)},
+        "tokenize_kernel_control_s": {f"procs{lo}": round(ctl[lo], 2),
+                                      f"procs{hi}": round(ctl[hi], 2)},
         "scaling_efficiency_tokenize_kernel_control": round(eff_ctl, 3),
         "tokenize_control_note": "the EXACT staging tokenize kernel "
                                  "(postings.tokenize_batch_kernel, shared "
@@ -257,11 +264,14 @@ def main() -> None:
                       "under high occupancy (a no-Spark multiprocessing "
                       "control shows the same falloff for numpy-heavy "
                       "kernels: ~0.4-0.5 at 8->32 procs)",
-        "note": "N vs 4N executors evidenced as local[8] vs local[32] per "
-                "driver instruction; fresh JVM per level; identical input "
-                "and identical plan (fixed partition counts)",
+        "note": f"N vs 4N executors evidenced as local[{lo}] vs "
+                f"local[{hi}] per driver instruction; fresh JVM per level; "
+                "identical input and identical plan (fixed partition "
+                "counts)",
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    fname = ("BENCH_SCALING.json" if (lo, hi) == (8, 32)
+             else f"BENCH_SCALING_{lo}x{hi}.json")
+    with open(os.path.join(REPO, fname), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
