@@ -229,6 +229,34 @@ def main() -> None:
     hamming_topk(sigs, qsig, k=10).collect()
     timings["hamming_topk"] = time.time() - t0
 
+    # ---- semantic map (r5 UMAP/Birch analog): build + routed search --------
+    from pears_fruit_fly_spark.operators.semantic_map import (
+        build_semantic_map,
+        map_routed_topk,
+    )
+
+    t0 = time.time()
+    map_cents, map_assigned = build_semantic_map(spark, sigs, k=32, iters=2)
+    map_assigned = map_assigned.persist()
+    map_assigned.count()
+    timings["semantic_map_build"] = time.time() - t0
+    flat10 = [r["url"] for r in hamming_topk(sigs, qsig, k=10).collect()]
+    t0 = time.time()
+    routed10 = [
+        r["url"]
+        for r in map_routed_topk(
+            map_assigned, map_cents, qsig, k=10, nprobe=4
+        ).collect()
+    ]
+    extras["map_routed_sec"] = round(time.time() - t0, 4)
+    # routed search scans nprobe/k of the corpus; overlap@10 vs the flat
+    # exact scan is the quality-accountability number (same contract as
+    # ann_*_recall_at10 above)
+    extras["map_routed_overlap_at10"] = round(
+        len(set(flat10) & set(routed10)) / 10, 3
+    )
+    map_assigned.unpersist()
+
     # ---- SPM piece-encode throughput (production featurize stage when
     # spm_tokenize=True; vectorized batch Viterbi, VERDICT r2 #4) ------------
     from pears_fruit_fly_spark.operators.pieces import piece_encode
