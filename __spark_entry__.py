@@ -1971,9 +1971,19 @@ WHERE rank <= 10
             f"read_parquet('{HAMMING_STAGE_DIR}/minhash_sigs/*.parquet')), "
             "bands AS (SELECT id, b, minhash[b*4+1 : b*4+4] AS slc "
             "  FROM s, range(0, 8) t(b)), "
+            # mirror the engine's max_bucket=1000 degenerate-bucket guard:
+            # small buckets join quadratically, oversized buckets emit star
+            # pairs to the min-id representative (dedup.lsh_candidate_pairs)
+            "bsz AS (SELECT b, slc, count(*) AS n, min(id) AS rep "
+            "  FROM bands GROUP BY b, slc), "
             "cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b "
             "  FROM bands x JOIN bands y ON x.b = y.b AND x.slc = y.slc "
-            "  AND x.id < y.id), "
+            "  AND x.id < y.id "
+            "  JOIN bsz z ON z.b = x.b AND z.slc = x.slc AND z.n <= 1000 "
+            "  UNION "
+            "  SELECT DISTINCT z.rep AS id_a, x.id AS id_b "
+            "  FROM bands x JOIN bsz z ON z.b = x.b AND z.slc = x.slc "
+            "  AND z.n > 1000 AND x.id <> z.rep), "
             "sh AS (SELECT doc_id AS id, list_distinct(list_transform("
             "  range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh "
             "  FROM (SELECT doc_id, list_filter(regexp_split_to_array("

@@ -89,7 +89,9 @@ def _index_version(index_dir: str):
             bid = json.loads(fsio.read_text(info_path)).get("build_id")
         except (OSError, ValueError):
             bid = None
-        version.append(bid if bid is not None else os.path.getmtime(info_path))
+        # fsio.getmtime, not os.path: the fallback must work on scheme'd
+        # index roots too (same FileNotFoundError contract when missing)
+        version.append(bid if bid is not None else fsio.getmtime(info_path))
     tomb = os.path.join(live, TOMBSTONES_DIRNAME)
     if fsio.isdir(tomb):
         version.append(tuple(sorted(fsio.listdir(tomb))))

@@ -138,11 +138,23 @@ def lsh_candidate_pairs(
     signatures): a bucket of size B would emit B²/2 join rows. Buckets
     larger than ``max_bucket`` instead emit STAR pairs to the bucket's
     min-id representative — O(B) rows. Members of an oversized bucket
-    collided on a full band of minhashes, so they are near-identical by
-    construction; the star keeps every member connected to the same
-    component (see ``duplicate_clusters``), preserving the dedup decision
-    while bounding output. The exact-Jaccard sibling has the analogous
-    guard (``max_ngram_df`` below). Set ``max_bucket=None`` to disable.
+    collided on a full band of minhashes (probability J^rows_per_band for
+    true Jaccard J), so such buckets are overwhelmingly boilerplate
+    near-identical to each other AND to the representative; the star keeps
+    every member connected to the same component (see
+    ``duplicate_clusters``), preserving the dedup decision while bounding
+    output.
+
+    Recall caveat (explicit, it is a trade): one band collision is strong
+    but not conclusive evidence of near-identity, so a degenerate bucket
+    CAN contain distinct sub-groups; a near-dup pair BOTH of whose members
+    sit in oversized buckets and fail downstream verification against the
+    reps is not emitted. That loss is the accepted price for bounding the
+    |bucket|² blowup at web scale — raise ``max_bucket`` or pass ``None``
+    for exact banding. (Pairs with at least one member in a small bucket
+    are unaffected: every band of both docs is banded independently, and
+    any SMALL shared bucket still emits the true pair.) The exact-Jaccard
+    sibling has the analogous guard (``max_ngram_df`` below).
     """
     rows_per_band = F.size("minhash") / n_bands  # hash count derived per row
     banded = minhash_df.select(

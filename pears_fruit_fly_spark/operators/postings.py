@@ -1179,10 +1179,12 @@ def append_postings(
         flat_staging_max_docs=(cfg or PostingsConfig()).flat_staging_max_docs,
         encode_rows_per_task=(cfg or PostingsConfig()).encode_rows_per_task,
         staging_filesystem=(cfg or PostingsConfig()).staging_filesystem,
-        # a positional base forces row staging for the segment too (blobs
-        # carry no positions); otherwise the caller's choice governs
-        staging_format=("rows" if base_info.get("store_positions")
-                        else (cfg or PostingsConfig()).staging_format),
+        # the caller's choice passes through untouched: store_positions
+        # (inherited from the base, below) makes "auto" resolve to rows
+        # for positional bases via resolve_staging_format, and an explicit
+        # "blobs" on a positional base fails loud in _check_staging_cfg —
+        # same contract as a fresh build (ONE source of truth for the rule)
+        staging_format=(cfg or PostingsConfig()).staging_format,
         # segments inherit the base layout — a positional index stays
         # phrase-queryable across its merged-on-read view
         store_positions=bool(base_info.get("store_positions", False)),
@@ -1382,9 +1384,10 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
         store_positions=bool(base.get("store_positions", False)),
         # a blob-built base merges through blob staging too (the decoded
         # rows re-pack in their decode worker, one extra in-worker hop —
-        # the merge exchange then moves blob rows, same as the build's)
-        staging_format=("rows" if base.get("store_positions")
-                        else base.get("staging_format", "rows")),
+        # the merge exchange then moves blob rows, same as the build's).
+        # build info records the RESOLVED format (never "auto"), and a
+        # positional build always recorded "rows" — no re-derivation here
+        staging_format=base.get("staging_format", "rows"),
     )
     decoded = _decoded_tokens_factory(spark, [live] + segs,
                                       with_positions=cfg.store_positions)

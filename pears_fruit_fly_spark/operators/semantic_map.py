@@ -191,15 +191,15 @@ def build_semantic_map(
     int64s, a few KB, the same scale of driver state as the salt plan or
     collection stats. Empty clusters keep their previous centroid
     (pinned; Birch never empties a CF node either)."""
-    first = sigs.select(sig_col).first()
-    if first is None:
-        raise ValueError("build_semantic_map: empty signature table")
-    n_words = len(first[sig_col])
     cents = seed_centroids(sigs, k, id_col, sig_col)
+    if not cents:
+        raise ValueError("build_semantic_map: empty signature table")
     if len(cents) < k:
         raise ValueError(
             f"build_semantic_map: k={k} exceeds corpus size {len(cents)}"
         )
+    # word count comes from the seed collect — no extra first() job
+    n_words = len(cents[0][1])
     for _ in range(int(iters)):
         assigned = assign_clusters(sigs, cents, id_col, sig_col)
         new = {
@@ -280,8 +280,20 @@ def map_routed_topk(
     popcounts); the cluster scan + top-k stays a
     TakeOrderedAndProject plan like the flat hamming_topk."""
     q = [int(w) for w in query_sig]
+    # signature words are uint64 bit patterns stored as SIGNED int64
+    # (functions/fly.py packs then views as long), so XOR of two Python
+    # ints can be negative; bin(-x).count("1") counts the bits of the
+    # MAGNITUDE (bin(-1) == '-0b1' -> 1, true Hamming weight 64). Mask to
+    # the 64-bit pattern before popcounting or routing silently picks the
+    # wrong clusters for any signature with bit 63 set.
     ranked = sorted(
-        (sum(bin(w ^ qw).count("1") for w, qw in zip(words, q)), cid)
+        (
+            sum(
+                bin((w ^ qw) & 0xFFFFFFFFFFFFFFFF).count("1")
+                for w, qw in zip(words, q)
+            ),
+            cid,
+        )
         for cid, words in centroids
     )
     probe = [cid for _, cid in ranked[: int(nprobe)]]

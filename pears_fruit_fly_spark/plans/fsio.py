@@ -79,6 +79,19 @@ def getsize(path: str) -> int:
     return int(f.get_file_info(p).size or 0)
 
 
+def getmtime(path: str) -> float:
+    """os.path.getmtime contract (raises FileNotFoundError when missing)
+    through the resolved filesystem, so scheme'd paths work too."""
+    if not has_scheme(path):
+        return os.path.getmtime(path)
+    f, p = _split(path)
+    info = f.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        raise FileNotFoundError(path)
+    mtime = info.mtime_ns
+    return 0.0 if mtime is None else mtime / 1e9
+
+
 def makedirs(path: str) -> None:
     if not has_scheme(path):
         os.makedirs(path, exist_ok=True)

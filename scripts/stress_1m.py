@@ -146,7 +146,10 @@ def main() -> None:
     # the corpus is deterministic, so reuse is safe for same n_docs)
     base_dir = os.environ.get("STRESS_BASE_DIR")
     extra_dir = os.environ.get("STRESS_EXTRA_DIR")
-    if base_dir and extra_dir and os.path.isdir(base_dir):
+    reused = bool(base_dir and extra_dir and os.path.isdir(base_dir)
+                  and os.path.isdir(extra_dir))  # validate BOTH up front:
+    # a stale extra_dir would otherwise fail only after the ~18-min build
+    if reused:
         print(f"reusing corpus: {base_dir} + {extra_dir}", flush=True)
     else:
         base_dir = tempfile.mkdtemp(prefix="stress_base_")
@@ -267,7 +270,9 @@ def main() -> None:
     }
     print(json.dumps(out))
     spark.stop()
-    for d in (work, base_dir, extra_dir):
+    # never delete a corpus the caller asked to keep via STRESS_*_DIR
+    doomed = (work,) if reused else (work, base_dir, extra_dir)
+    for d in doomed:
         shutil.rmtree(d, ignore_errors=True)
 
 

@@ -31,7 +31,12 @@ from pears_fruit_fly_spark.operators.signatures import hamming_topk
 # ---------- independent oracle (pure-Python, no engine code) ----------
 
 def _hamming(a, b):
-    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    # mask to the 64-bit pattern: words are uint64 bit patterns stored as
+    # signed int64, and bin(-x).count("1") would count the MAGNITUDE's
+    # bits (bin(-1) -> '-0b1' -> 1, true weight 64)
+    return sum(
+        bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1") for x, y in zip(a, b)
+    )
 
 
 def _oracle_assign(rows, cents):
@@ -85,14 +90,20 @@ def sig_rows():
     """120 docs in 3 planted Hamming clusters over 2-word (128-bit)
     signatures: cluster templates with per-doc bit noise, deterministic."""
     rng = np.random.default_rng(11)
-    templates = rng.integers(0, 1 << 63, size=(3, 2), dtype=np.int64)
+    # full uint64 range viewed as int64: REAL fly signatures set bit 63
+    # on ~half their words (negative Python ints) — the fixture must too,
+    # or signed-popcount bugs in driver-side routing stay invisible
+    templates = rng.integers(
+        0, 1 << 64, size=(3, 2), dtype=np.uint64
+    ).view(np.int64)
     rows = []
     for i in range(120):
         t = templates[i % 3].copy()
-        for _ in range(3):  # flip 3 random bits
-            w, b = rng.integers(0, 2), int(rng.integers(0, 63))
+        for _ in range(3):  # flip 3 random bits (any of the 64)
+            w, b = rng.integers(0, 2), int(rng.integers(0, 64))
             t[w] ^= np.int64(1) << np.int64(b)
         rows.append((f"u{i:03d}", [int(t[0]), int(t[1])]))
+    assert any(w < 0 for _, words in rows for w in words)
     return rows
 
 
@@ -207,6 +218,21 @@ def test_routed_topk_precision_vs_flat(spark, sigs_df, sig_rows):
     routed_all = [r["url"] for r in map_routed_topk(
         assigned, cents, qsig, k=10, nprobe=3).collect()]
     assert routed_all == flat
+
+
+def test_routing_popcounts_bit63_words(spark):
+    """Regression: driver-side centroid routing must popcount the 64-bit
+    PATTERN, not the magnitude. query=[0]: centroid [-1] is all-ones
+    (true distance 64) and centroid [3] is at distance 2 — the signed
+    bin() bug ranked [-1] at distance 1 and probed the wrong cluster."""
+    assigned = spark.createDataFrame(
+        [("far_a", 0, [-1]), ("far_b", 0, [-1]), ("near", 1, [3])],
+        "url string, cluster_id int, sig array<long>",
+    )
+    cents = [(0, [-1]), (1, [3])]
+    got = map_routed_topk(assigned, cents, [0], k=1, nprobe=1).collect()
+    assert [r["url"] for r in got] == ["near"]
+    assert got[0]["hamming"] == 2
 
 
 def test_seed_centroids_requires_enough_docs(spark, sigs_df):
