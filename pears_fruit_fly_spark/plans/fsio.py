@@ -84,6 +84,8 @@ def getmtime(path: str) -> float:
     through the resolved filesystem, so scheme'd paths work too."""
     if not has_scheme(path):
         return os.path.getmtime(path)
+    from pyarrow import fs as pafs
+
     f, p = _split(path)
     info = f.get_file_info(p)
     if info.type == pafs.FileType.NotFound:

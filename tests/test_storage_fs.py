@@ -236,3 +236,21 @@ def test_file_scheme_index_root_end_to_end(spark, pages_ids, vocab, tmp_path):
     assert sorted(fsio.listdir(uri)) == sorted(
         fsio.listdir(str(tmp_path / "uri_idx"))
     )
+
+
+def test_getmtime_scheme_and_plain(tmp_path):
+    """fsio.getmtime keeps os.path.getmtime's contract on both spellings:
+    a real float mtime for existing files (bm25's cache-version fallback
+    feeds on it) and FileNotFoundError for missing ones."""
+    p = tmp_path / "x.json"
+    p.write_text("{}")
+    import os as _os
+
+    plain = fsio.getmtime(str(p))
+    via_uri = fsio.getmtime("file://" + str(p))
+    assert plain == pytest.approx(_os.path.getmtime(str(p)), abs=2.0)
+    assert via_uri == pytest.approx(plain, abs=2.0)
+    with pytest.raises(FileNotFoundError):
+        fsio.getmtime(str(tmp_path / "missing.json"))
+    with pytest.raises(FileNotFoundError):
+        fsio.getmtime("file://" + str(tmp_path / "missing.json"))
