@@ -289,13 +289,21 @@ def simhash(
 
 
 def simhash_near_pairs(
-    simhash_df: DataFrame, max_hamming: int = 3, n_chunks: int = 4
+    simhash_df: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Pigeonhole banding: split the 64-bit fingerprint into n_chunks; two
     fingerprints within distance d < n_chunks agree on >=1 chunk, so joining
     on each chunk finds all such pairs without a cross join.
+
+    Degenerate-chunk guard: same star-pair cap as ``lsh_candidate_pairs``
+    (boilerplate simhashing identically would otherwise emit |bucket|² join
+    rows); every star pair still passes the exact Hamming verify below, and
+    the same recall caveat applies. ``max_bucket=None`` disables.
     """
     assert max_hamming < n_chunks
     width = 64 // n_chunks
@@ -312,6 +320,27 @@ def simhash_near_pairs(
             )
         ).alias("chunk_idx", "chunk"),
     )
+    star = None
+    if max_bucket is not None:
+        # min(struct(id, simhash)) carries the representative's fingerprint
+        # through the window — ids are unique, so the struct order is the
+        # id order and no second join is needed for sh_a
+        w = Window.partitionBy("chunk_idx", "chunk")
+        chunked = chunked.withColumn("bsz", F.count("*").over(w)).withColumn(
+            "brep", F.min(F.struct("id", "simhash")).over(w)
+        )
+        big = chunked.filter(
+            (F.col("bsz") > max_bucket) & (F.col("id") != F.col("brep.id"))
+        )
+        star = big.select(
+            F.col("brep.id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.col("brep.simhash").alias("sh_a"),
+            F.col("simhash").alias("sh_b"),
+        )
+        chunked = chunked.filter(F.col("bsz") <= max_bucket).drop(
+            "bsz", "brep"
+        )
     l, r = chunked.alias("l"), chunked.alias("r")
     cand = (
         l.join(
@@ -326,8 +355,10 @@ def simhash_near_pairs(
             F.col("l.simhash").alias("sh_a"),
             F.col("r.simhash").alias("sh_b"),
         )
-        .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return cand.select("id_a", "id_b", dist).filter(F.col("hamming") <= max_hamming)
 
@@ -444,6 +475,7 @@ def embedding_cosine_dup_pairs(
     seed: int = 23,
     dim: int | None = None,
     brute_force: bool = False,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.
 
@@ -452,8 +484,14 @@ def embedding_cosine_dup_pairs(
     with probability (1 - theta/pi)^n_planes — bucket recall is a tuning
     knob, NOT exactness: this is the documented approximate candidate
     generator. brute_force=True verifies every pair (the correctness oracle).
+
+    Degenerate-bucket guard: same star-pair cap as ``lsh_candidate_pairs``
+    (embeddings of boilerplate collapse to one sign pattern and would emit
+    |bucket|² join rows); stars still pass the exact cosine verify, same
+    recall caveat. ``max_bucket=None`` disables.
     """
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    star = None
     if brute_force:
         a, b = vecs.alias("a"), vecs.alias("b")
         pairs = a.join(b, F.col("a.id") < F.col("b.id"))
@@ -469,16 +507,45 @@ def embedding_cosine_dup_pairs(
             bit = (_dot(F.col("v"), plane) > 0).cast("long")
             bucket = bit if bucket is None else bucket * 2 + bit
         bucketed = vecs.withColumn("bucket", bucket)
+        if max_bucket is not None:
+            # min(struct(id, v)) carries the rep's vector through the
+            # window (ids unique -> struct order == id order, the array
+            # field never compared), so stars need no second join
+            w = Window.partitionBy("bucket")
+            bucketed = bucketed.withColumn(
+                "bsz", F.count("*").over(w)
+            ).withColumn("brep", F.min(F.struct("id", "v")).over(w))
+            big = bucketed.filter(
+                (F.col("bsz") > max_bucket)
+                & (F.col("id") != F.col("brep.id"))
+            )
+            star = big.select(
+                F.col("brep.id").alias("a_id"),
+                F.col("brep.v").alias("a_v"),
+                F.col("id").alias("b_id"),
+                F.col("v").alias("b_v"),
+            )
+            bucketed = bucketed.filter(F.col("bsz") <= max_bucket).drop(
+                "bsz", "brep"
+            )
         a, b = bucketed.alias("a"), bucketed.alias("b")
         pairs = a.join(
             b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
         )
+    cand = pairs.select(
+        F.col("a.id").alias("a_id"),
+        F.col("a.v").alias("a_v"),
+        F.col("b.id").alias("b_id"),
+        F.col("b.v").alias("b_v"),
+    )
+    if star is not None:
+        cand = cand.unionByName(star)
     cos = (
-        _dot(F.col("a.v"), F.col("b.v"))
-        / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+        _dot(F.col("a_v"), F.col("b_v"))
+        / (_norm(F.col("a_v")) * _norm(F.col("b_v")))
     ).alias("cosine")
     return (
-        pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos)
+        cand.select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), cos)
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -249,3 +249,52 @@ def test_lsh_bucket_cap_small_buckets_unaffected(spark, docs):
     sig = F.array(*[F.lit(3 + j) for j in range(32)]).cast("array<bigint>")
     b60 = spark.range(60).select("id", sig.alias("minhash"))
     assert lsh_candidate_pairs(b60, 8, max_bucket=None).count() == 60 * 59 // 2
+
+
+def test_simhash_bucket_cap_boilerplate(spark):
+    """Boilerplate fixture for the SimHash sibling of the LSH cap: 5k docs
+    with IDENTICAL fingerprints share every chunk bucket. Capped, each
+    oversized bucket emits O(bucket) star pairs (all at Hamming 0, so the
+    exact verify keeps them); the pair set stays n-1, not |bucket|^2/2."""
+    from pears_fruit_fly_spark.operators.dedup import simhash_near_pairs
+
+    n = 5_000
+    boiler = spark.range(n).select("id", F.lit(12345).cast("long").alias("simhash"))
+    pairs = simhash_near_pairs(boiler, max_hamming=3, max_bucket=100)
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in rows)
+
+
+def test_simhash_cap_small_buckets_unaffected(spark, docs):
+    sh = simhash(docs, "id", "text")
+    capped = {(r["id_a"], r["id_b"])
+              for r in simhash_near_pairs(sh, 3, max_bucket=10).collect()}
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in simhash_near_pairs(sh, 3, max_bucket=None).collect()}
+    assert capped == uncapped
+
+
+def test_embedding_cosine_bucket_cap_boilerplate(spark):
+    """Boilerplate embeddings (one repeated vector => one sign bucket):
+    capped LSH emits star pairs to the min-id rep, all passing the exact
+    cosine verify at 1.0."""
+    n = 3_000
+    v = F.array(*[F.lit(float(j % 5 + 1)) for j in range(8)])
+    boiler = spark.range(n).select("id", v.alias("v"))
+    pairs = embedding_cosine_dup_pairs(
+        boiler, "id", "v", threshold=0.95, dim=8, max_bucket=50
+    ).collect()
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 and r["cosine"] >= 0.999 for r in pairs)
+
+
+def test_embedding_cosine_cap_small_buckets_unaffected(spark, vecs):
+    capped = {(r["id_a"], r["id_b"])
+              for r in embedding_cosine_dup_pairs(
+                  vecs, "id", "v", 0.95, n_planes=6, max_bucket=5).collect()}
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in embedding_cosine_dup_pairs(
+                    vecs, "id", "v", 0.95, n_planes=6,
+                    max_bucket=None).collect()}
+    assert capped == uncapped
