@@ -34,6 +34,15 @@ def piece_encode(
     mirroring the reference pipeline where pieced text replaces raw text).
     """
     out_col = out_col or text_col
+    # Re-spread to full parallelism when the upstream plan funnels into
+    # fewer partitions than cores (e.g. a .limit() sample collapses to ONE
+    # partition, so the whole Viterbi stage would run on one task — guide
+    # §2.5 input skew). Values are per-row, so the repartition cannot
+    # change them; at real scale the input is many splits and this branch
+    # is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     b_scores = df.sparkSession.sparkContext.broadcast(scores)
     tok_holder: list[UnigramTokenizer] = []
 
