@@ -195,40 +195,61 @@ def q_keywords_weighted(spark, sf_dir):
 
 
 def _bm25_scores_df(spark, sf_dir):
-    """Single-job relational BM25: collection stats ride along as a
-    broadcast 1-row cross join (exactly like the oracle SQL's CROSS JOIN
-    stats) instead of a separate driver collect.
+    """Relational BM25 with ZERO wide shuffles (r6): the query has three
+    fixed terms, so per-doc tf and dl are array expressions over the
+    tokenized text (size/filter — pure codegen), not explode + two
+    groupBy exchanges + joins. Collection stats (n_docs, total_tokens,
+    per-term df) come from ONE narrow aggregate over the same per-doc
+    rows and ride along as a broadcast 1-row cross join, exactly like the
+    oracle SQL's CROSS JOIN stats. Values are identical to the old
+    explode+join form: tf_t = count of t in the doc, dl = in-doc token
+    count, df_t = docs with tf_t>0, and a tf=0 term contributes exactly
+    0.0 to the sum, so summing all three terms per doc equals the old
+    per-row hash agg (oracle-verified at sf0.001/0.01/0.1).
 
     Convention (ADVICE r1): n_docs counts ALL documents and avgdl divides by
     ALL documents — zero-token docs included — matching the index build
     (postings.py) and the NumPy oracle, so WAND and the relational path stay
     rank-identical on corpora containing empty docs."""
-    tf = q_token_counts(spark, sf_dir).filter(F.col("term").isin(QUERY_TERMS))
-    dl = q_doclen(spark, sf_dir)
-    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = _docs(spark, sf_dir).agg(F.count("*").cast("double").alias("n_docs"))
-    tot = dl.agg(F.sum("dl").cast("double").alias("total_tokens"))
-    stats = (
-        n.crossJoin(tot)
-        .withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
-        .select("n_docs", "avgdl")
+    toks = F.coalesce(tokens_array("text"), F.array())
+
+    def tf_of(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_doc = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            tf_of(t).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(QUERY_TERMS)
+        ],
     )
-    hits = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfq), "term")
-        .crossJoin(F.broadcast(stats))
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
     )
-    contrib = (
-        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-        * (F.col("tf") * (BM25_K1 + 1))
-        / (
-            F.col("tf")
-            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    hits = per_doc.filter(
+        sum(F.col(f"_tf{i}") for i in range(len(QUERY_TERMS))) > 0
+    ).crossJoin(F.broadcast(stats))
+
+    def contrib(i: int):
+        tf, df = F.col(f"_tf{i}").cast("double"), F.col(f"_df{i}")
+        return (
+            F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * (BM25_K1 + 1))
+            / (
+                tf
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
         )
-    )
-    return hits.withColumn("c", contrib).groupBy("doc_id").agg(
-        F.sum("c").alias("score_raw")
-    )
+
+    score = sum(contrib(i) for i in range(len(QUERY_TERMS)))
+    return hits.select("doc_id", score.alias("score_raw"))
 
 
 _SQL_BM25_SCORES = """
@@ -646,44 +667,133 @@ def q_dup_clusters(spark, sf_dir):
     )
 
 
+# the rank-dictionary queries go narrow (term -> rank as a literal map,
+# computed from ONE distinct-terms job) only while the dictionary is small
+# enough for a sane Catalyst expression tree; past the cap they keep the
+# join/agg form, which scales to any vocabulary
+_RANK_DICT_LITERAL_MAX = 4096
+
+
+def _rank_dict(spark, sf_dir) -> dict[str, int] | None:
+    """{term: alphabetic 1-based rank} via one tiny collect, or None when
+    the dictionary exceeds the literal-map cap. Rank order matches
+    _term_ranks exactly: terms are [a-z0-9]+ so Python's code-point sort
+    equals Spark/DuckDB binary string ordering."""
+    terms = [
+        r["term"]
+        for r in _tokens(spark, sf_dir).select("term").distinct().collect()
+    ]
+    if len(terms) > _RANK_DICT_LITERAL_MAX:
+        return None
+    return {t: i + 1 for i, t in enumerate(sorted(terms))}
+
+
+def _rank_map_col(ranks: dict[str, int]):
+    from itertools import chain
+
+    return F.create_map(
+        *chain.from_iterable(
+            (F.lit(t), F.lit(r).cast("long")) for t, r in ranks.items()
+        )
+    )
+
+
 def q_minhash_rankdict(spark, sf_dir):
     """MinHash signatures (8 hashes) over the alphabetic-rank dictionary —
-    the SQL-oracle-matched variant of operators.dedup.minhash_signatures."""
-    toks = _tokens(spark, sf_dir).distinct()
-    ranks = _term_ranks(spark, sf_dir)
-    ids = toks.join(ranks, "term").select("doc_id", "rid")
-    aggs = [
-        F.min(F.pmod(F.col("rid") * a + b, F.lit(FP_MOD))).alias(f"mh{j}")
+    the SQL-oracle-matched variant of operators.dedup.minhash_signatures.
+
+    r6 narrow form: the rank dictionary rides as a literal map and each
+    doc's 8 minima are array expressions over its distinct tokens — no
+    explode, no distinct exchange, no join, no groupBy (integer min is
+    order-insensitive, so values are identical to the old join+agg plan;
+    oracle-verified). Falls back to the relational form past the
+    dictionary cap."""
+    ranks = _rank_dict(spark, sf_dir)
+    if ranks is None:  # huge dictionary: keep the scalable join form
+        toks = _tokens(spark, sf_dir).distinct()
+        ids = toks.join(_term_ranks(spark, sf_dir), "term").select(
+            "doc_id", "rid"
+        )
+        aggs = [
+            F.min(F.pmod(F.col("rid") * a + b, F.lit(FP_MOD))).alias(f"mh{j}")
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+        return ids.groupBy("doc_id").agg(*aggs)
+    rid_of = _rank_map_col(ranks)
+    toks = tokens_array("text")
+    rids = F.transform(F.array_distinct(toks), lambda t: rid_of[t])
+    cols = [
+        F.array_min(
+            F.transform(rids, lambda r: F.pmod(r * a + b, F.lit(FP_MOD)))
+        ).alias(f"mh{j}")
         for j, (a, b) in enumerate(MINHASH_PARAMS)
     ]
-    return ids.groupBy("doc_id").agg(*aggs)
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.size(toks) > 0)
+        .select("doc_id", *cols)
+    )
 
 
 def q_simhash_rankdict(spark, sf_dir):
     """16-bit SimHash over the rank dictionary (oracle-matched variant of
-    operators.dedup.simhash)."""
-    tf = q_token_counts(spark, sf_dir)
-    ranks = _term_ranks(spark, sf_dir)
-    t = tf.join(ranks, "term").withColumn(
-        "h", F.pmod(F.col("rid") * SIMHASH_MULT, F.lit(FP_MOD))
-    )
-    sums = t.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.col("tf")
-                * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"s{i}")
-            for i in range(SIMHASH_BITS)
-        ]
-    )
+    operators.dedup.simhash).
+
+    r6 narrow form: summing tf * (2*bit-1) over distinct terms equals
+    summing (2*bit-1) over token OCCURRENCES, so each doc's 16 bit-plane
+    sums are integer array aggregates over its own tokens with the rank
+    dictionary as a literal map — no explode, no groupBy exchange, no
+    join; integer addition is order-insensitive so the fingerprint is
+    bit-identical to the old plan (oracle-verified). Falls back to the
+    relational form past the dictionary cap."""
+    ranks = _rank_dict(spark, sf_dir)
+    if ranks is None:  # huge dictionary: keep the scalable join form
+        tf = q_token_counts(spark, sf_dir)
+        t = tf.join(_term_ranks(spark, sf_dir), "term").withColumn(
+            "h", F.pmod(F.col("rid") * SIMHASH_MULT, F.lit(FP_MOD))
+        )
+        sums = t.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.col("tf")
+                    * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+                ).alias(f"s{i}")
+                for i in range(SIMHASH_BITS)
+            ]
+        )
+        fp = None
+        for i in range(SIMHASH_BITS):
+            bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = bit * F.lit(1 << i).cast("long")
+            fp = term if fp is None else fp + term
+        return sums.select("doc_id", fp.alias("simhash"))
+    rid_of = _rank_map_col(ranks)
+    toks = tokens_array("text")
+    hs = F.transform(toks, lambda t: F.pmod(rid_of[t] * SIMHASH_MULT,
+                                            F.lit(FP_MOD)))
+    def bit_sum(i: int):
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
     fp = None
     for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(
+        s_i = bit_sum(i)
+        bit = F.when(s_i > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         term = bit * F.lit(1 << i).cast("long")
         fp = term if fp is None else fp + term
-    return sums.select("doc_id", fp.alias("simhash"))
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.size(toks) > 0)
+        .select("doc_id", fp.alias("simhash"))
+    )
 
 
 def q_fingerprint(spark, sf_dir):

@@ -401,14 +401,22 @@ def ngram_jaccard_pairs(
     Dropped shingles are excluded from BOTH intersection and union, i.e. this
     computes Jaccard over the filtered shingle space (documented semantics).
 
-    Physical notes: the input is re-spread to full parallelism when the
-    upstream scan is coarser (a single small parquet file plans ONE task for
-    the expensive shingle explode otherwise), and the shingle table is
-    persisted — it feeds the size agg, the df guard and BOTH join sides, so
-    without it the scan+explode lineage re-executes up to 4x per action.
-    This operator is the exact/oracle path; LSH (minhash_lsh_dedup_pairs)
-    is the at-scale candidate generator.
+    Physical notes (r6): the input is re-spread to full parallelism when
+    the upstream scan is coarser (a single small parquet file plans ONE
+    task for the expensive shingle explode otherwise). The df guard is a
+    count window over g rather than an agg+self-join — ONE exchange
+    establishes hash(g) partitioning that the a×b candidate join then
+    reuses with no further shuffle of the shingle table (guide §2.4
+    "window keyed like the join shares the exchange"). The filtered
+    shingle table is persisted AND materialized eagerly: it feeds the
+    size agg and BOTH join sides, and lazy persist let the first action
+    race three concurrent scans of the uncached explode lineage
+    (profiled: the explode ran 3x per call). This operator is the
+    exact/oracle path; LSH (minhash_lsh_dedup_pairs) is the at-scale
+    candidate generator.
     """
+    from pyspark.sql.window import Window
+
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
@@ -419,14 +427,16 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles_array("_t", n))).alias("g"),
     )
     if max_ngram_df is not None:
-        keep = (
-            grams.groupBy("g").agg(F.count("*").alias("gdf"))
-            .filter(F.col("gdf") <= max_ngram_df)
-            .select("g")
+        grams = (
+            grams.withColumn(
+                "_gdf", F.count("*").over(Window.partitionBy("g"))
+            )
+            .filter(F.col("_gdf") <= max_ngram_df)
+            .drop("_gdf")
         )
-        grams = grams.join(keep, "g")
     release_jaccard_cache()  # previous call's pin (bounded accumulation)
     grams = grams.persist()
+    grams.count()  # populate the cache ONCE before the fan-out below
     _JACCARD_PERSISTED.append(grams)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
