@@ -84,7 +84,7 @@ class PostingsConfig:
     # stripped from paths before they are handed over). None (default):
     # pyarrow infers the filesystem from the staging path itself.
     staging_format: str = "auto"  # "auto" (default) resolves to "blobs"
-    # whenever the build can use it (no positions, no jvm_tokenizer) and
+    # whenever the build can use it (everything except jvm_tokenizer) and
     # "rows" otherwise. "rows" = staged tokens are
     # one parquet row per (doc, term) — the layout every tool can read.
     # "blobs" = the tokenize kernel packs each batch's tokens into ONE
@@ -95,8 +95,10 @@ class PostingsConfig:
     # decomposition showed the staging leg flat at 8->32 cores with
     # per-token rows purely from per-row machinery (UnsafeRow conversion,
     # exchange hashing, per-row parquet encode). Blocks/postings output is
-    # byte-identical between the two (pinned by test); blobs do not carry
-    # positions, so store_positions forces "rows".
+    # byte-identical between the two (pinned by test). Positional builds
+    # stage as blobs too (r6, PTB2 layout): the varbyte position runs ride
+    # as one flat stream + per-run byte widths per blob, eliminating the
+    # per-(doc,term) row machinery that dominated the positional build.
     store_positions: bool = False  # True = record token positions per
     # posting (the Lucene .pos analog; enables phrase queries,
     # operators/phrase.py). Positions are delta+varbyte encoded in the

@@ -116,9 +116,14 @@ def bm25_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: floa
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
-def encode_position_runs_flat(flat: np.ndarray, counts: np.ndarray) -> list[bytes]:
-    """(concatenated positions, per-run counts) → per-run varbyte streams,
-    encoded in ONE vectorized pass and sliced at per-run byte offsets."""
+def encode_position_runs_concat(
+    flat: np.ndarray, counts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """(concatenated positions, per-run counts) → (ONE concatenated varbyte
+    stream, per-run byte lengths), fully vectorized — no per-run Python
+    objects. Varbyte values are value-local, so slicing the stream at
+    cumulative lengths is byte-identical to encoding each run separately
+    (encode_position_runs_flat is exactly that slicing wrapper)."""
     flat = np.asarray(flat, dtype=np.uint64)
     counts = np.asarray(counts, dtype=np.int64)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -131,10 +136,39 @@ def encode_position_runs_flat(flat: np.ndarray, counts: np.ndarray) -> list[byte
     stored[~nonstart] = flat[~nonstart]  # run starts: absolute position
     stream, widths = _varbyte_encode_arr(stored)
     b_off = np.concatenate([[0], np.cumsum(widths)])
-    buf = stream.tobytes()
     bounds = np.concatenate([[0], np.cumsum(counts)])
-    return [buf[int(b_off[bounds[i]]) : int(b_off[bounds[i + 1]])]
-            for i in range(counts.size)]
+    run_bytes = b_off[bounds[1:]] - b_off[bounds[:-1]]
+    return stream.tobytes(), run_bytes.astype(np.int64)
+
+
+def encode_position_runs_flat(flat: np.ndarray, counts: np.ndarray) -> list[bytes]:
+    """(concatenated positions, per-run counts) → per-run varbyte streams,
+    encoded in ONE vectorized pass and sliced at per-run byte offsets."""
+    buf, run_bytes = encode_position_runs_concat(flat, counts)
+    b_off = np.concatenate([[0], np.cumsum(run_bytes)])
+    return [buf[int(b_off[i]) : int(b_off[i + 1])]
+            for i in range(run_bytes.size)]
+
+
+def gather_byte_runs(
+    stream: np.ndarray, lens: np.ndarray, order: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reorder variable-length byte runs of a flat uint8 stream into
+    ``order`` with ONE vectorized gather (no per-run slicing): returns
+    (reordered stream, lens[order]). Used wherever position payloads are
+    re-sorted (bucket pack, encode lexsort, shard keep-masks)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    src_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    new_lens = lens[order]
+    total = int(new_lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8), new_lens
+    dst_off = np.concatenate([[0], np.cumsum(new_lens)[:-1]])
+    idx = (
+        np.repeat(src_off[order] - dst_off, new_lens)
+        + np.arange(total, dtype=np.int64)
+    )
+    return stream[idx], new_lens
 
 
 def slice_position_stream(buf: bytes, tfs: np.ndarray) -> list[bytes]:
@@ -185,6 +219,8 @@ def encode_blocks(
     b: float,
     block_size: int = 128,
     pos_bufs: np.ndarray | None = None,
+    pos_buf: bytes | np.ndarray | None = None,
+    pos_lens: np.ndarray | None = None,
 ) -> list[dict]:
     """One term's sorted postings → list of block dicts (schema in module doc).
 
@@ -232,7 +268,14 @@ def encode_blocks(
 
     pos_off = None
     pos_b = b""
-    if pos_bufs is not None:
+    if pos_buf is not None:
+        # flat form (blob staging): the per-posting streams already live
+        # concatenated in posting order; only per-posting byte widths are
+        # needed to slice block boundaries — zero object churn
+        pos_nb = np.asarray(pos_lens, dtype=np.int64)
+        pos_off = np.concatenate([[0], np.cumsum(pos_nb)])
+        pos_b = pos_buf.tobytes() if isinstance(pos_buf, np.ndarray) else pos_buf
+    elif pos_bufs is not None:
         # per-posting streams are value-local, so the block stream is the
         # byte concatenation sliced at cumulative per-posting byte widths
         pos_nb = np.fromiter((len(x) for x in pos_bufs), dtype=np.int64,

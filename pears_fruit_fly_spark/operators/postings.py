@@ -89,6 +89,7 @@ STAGED_TOKENS_POS_SCHEMA = StructType(
 # (UnsafeRow conversion, exchange hashing, parquet column encode) to noise
 # while moving the same token bytes.
 TOKEN_BLOB_MAGIC = b"PTB1"
+TOKEN_BLOB_MAGIC_POS = b"PTB2"  # v2: + per-run position byte widths/stream
 TOKEN_BLOBS_SCHEMA = StructType(
     [
         StructField("term_bucket", IntegerType()),
@@ -166,6 +167,7 @@ def tokenize_batch_kernel(
     vocab_index: pd.Index,
     text_col: str = "text",
     with_positions: bool = False,
+    flat_positions: bool = False,
 ) -> dict | None:
     """The per-batch tokenize kernel, module-level so the SAME code runs
     both inside the Spark mapInPandas path (tokens_long) and in the
@@ -187,7 +189,7 @@ def tokenize_batch_kernel(
     import pyarrow.compute as pc
 
     from pears_fruit_fly_spark.operators.codec import (
-        encode_position_runs_flat,
+        encode_position_runs_concat,
     )
 
     V = len(vocab_index)
@@ -263,7 +265,17 @@ def tokenize_batch_kernel(
         )
         pos_all = ne_cum - 1 - base
         pos_sorted = pos_all[mask][np.argsort(key, kind="stable")]
-        out["pos"] = encode_position_runs_flat(pos_sorted, counts)
+        stream, run_lens = encode_position_runs_concat(pos_sorted, counts)
+        if flat_positions:
+            # blob staging consumes the stream whole — zero per-run objects
+            out["pos_stream"] = np.frombuffer(stream, dtype=np.uint8)
+            out["pos_lens"] = run_lens
+        else:
+            b_off = np.concatenate([[0], np.cumsum(run_lens)])
+            out["pos"] = [
+                stream[int(b_off[i]) : int(b_off[i + 1])]
+                for i in range(run_lens.size)
+            ]
     return out
 
 
@@ -392,7 +404,20 @@ def pack_token_blobs(out: dict, P: int) -> pd.DataFrame:
 
         magic 'PTB1' | n uint64 | doc_id int64[n] | term_id int32[n]
                      | tf int32[n] | dl int64[n]
-    """
+
+    Positional batches (out carries pos_stream/pos_lens — the flat
+    varbyte position runs of tokenize_batch_kernel) use the v2 layout,
+    which appends the per-run byte widths and the reordered stream:
+
+        magic 'PTB2' | ...PTB1 fields... | pos_len int32[n] | pos bytes
+
+    Runs are re-gathered into bucket order with one vectorized byte
+    gather (codec.gather_byte_runs) — no per-run Python objects anywhere
+    on the positional staging path (r6: the per-(doc,term) bytes slicing
+    plus per-row staging machinery WAS the positional build's dominant
+    stage)."""
+    from pears_fruit_fly_spark.operators.codec import gather_byte_runs
+
     term = np.ascontiguousarray(out["term_id"], dtype=np.int32)
     bucket = term_buckets_py(term, P)
     order = np.argsort(bucket, kind="stable")
@@ -401,6 +426,14 @@ def pack_token_blobs(out: dict, P: int) -> pd.DataFrame:
     term = term[order]
     tf = np.ascontiguousarray(out["tf"], dtype=np.int32)[order]
     dl = np.ascontiguousarray(out["dl"], dtype=np.int64)[order]
+    with_pos = "pos_stream" in out
+    if with_pos:
+        pos_stream, pos_lens = gather_byte_runs(
+            np.asarray(out["pos_stream"], dtype=np.uint8),
+            np.asarray(out["pos_lens"], dtype=np.int64),
+            order,
+        )
+        pos_off = np.concatenate([[0], np.cumsum(pos_lens)])
     starts = np.flatnonzero(
         np.concatenate([[True], b_sorted[1:] != b_sorted[:-1]])
     )
@@ -408,19 +441,22 @@ def pack_token_blobs(out: dict, P: int) -> pd.DataFrame:
     buckets, ns, blobs = [], [], []
     for s, e in zip(starts, ends):
         n = int(e - s)
-        blob = b"".join(
-            (
-                TOKEN_BLOB_MAGIC,
-                np.uint64(n).tobytes(),
-                doc[s:e].tobytes(),
-                term[s:e].tobytes(),
-                tf[s:e].tobytes(),
-                dl[s:e].tobytes(),
+        parts = [
+            TOKEN_BLOB_MAGIC_POS if with_pos else TOKEN_BLOB_MAGIC,
+            np.uint64(n).tobytes(),
+            doc[s:e].tobytes(),
+            term[s:e].tobytes(),
+            tf[s:e].tobytes(),
+            dl[s:e].tobytes(),
+        ]
+        if with_pos:
+            parts.append(pos_lens[s:e].astype(np.int32).tobytes())
+            parts.append(
+                pos_stream[int(pos_off[s]) : int(pos_off[e])].tobytes()
             )
-        )
         buckets.append(int(b_sorted[s]))
         ns.append(n)
-        blobs.append(blob)
+        blobs.append(b"".join(parts))
     return pd.DataFrame(
         {"term_bucket": np.asarray(buckets, dtype=np.int32),
          "n": np.asarray(ns, dtype=np.int64),
@@ -429,10 +465,14 @@ def pack_token_blobs(out: dict, P: int) -> pd.DataFrame:
 
 
 def unpack_token_blob(blob: bytes):
-    """blob -> (doc int64[n], term int32[n], tf int32[n], dl int64[n])."""
-    if blob[:4] != TOKEN_BLOB_MAGIC:
+    """blob -> (doc int64[n], term int32[n], tf int32[n], dl int64[n],
+    pos_lens int64[n] | None, pos_stream uint8[] | None). The two
+    position fields are None for tf-only (PTB1) blobs."""
+    magic = blob[:4]
+    if magic not in (TOKEN_BLOB_MAGIC, TOKEN_BLOB_MAGIC_POS):
         raise ValueError(
-            f"bad token-blob magic {blob[:4]!r} (expected {TOKEN_BLOB_MAGIC!r})"
+            f"bad token-blob magic {magic!r} (expected {TOKEN_BLOB_MAGIC!r}"
+            f" or {TOKEN_BLOB_MAGIC_POS!r})"
         )
     n = int(np.frombuffer(blob, np.uint64, 1, 4)[0])
     off = 12
@@ -443,22 +483,32 @@ def unpack_token_blob(blob: bytes):
     tf = np.frombuffer(blob, np.int32, n, off)
     off += 4 * n
     dl = np.frombuffer(blob, np.int64, n, off)
-    return doc, term, tf, dl
+    if magic == TOKEN_BLOB_MAGIC:
+        return doc, term, tf, dl, None, None
+    off += 8 * n
+    pos_lens = np.frombuffer(blob, np.int32, n, off).astype(np.int64)
+    off += 4 * n
+    pos_stream = np.frombuffer(blob, np.uint8, int(pos_lens.sum()), off)
+    return doc, term, tf, dl, pos_lens, pos_stream
 
 
 def tokens_blobs(pages: DataFrame, vocab: Vocab, P: int,
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 with_positions: bool = False) -> DataFrame:
     """Fused tokenize + per-bucket blob pack in ONE Python eval: the
     staging_format="blobs" twin of tokens_long. The pack happens before
     rows leave the tokenize worker, so the Arrow return carries
-    ~(batches x buckets) blob rows instead of one row per (doc, term)."""
+    ~(batches x buckets) blob rows instead of one row per (doc, term).
+    with_positions (r6) packs the varbyte position runs as ONE flat
+    stream per blob (PTB2) — the positional build stages the same way."""
     spark = pages.sparkSession
     b_terms = spark.sparkContext.broadcast(list(vocab.terms))
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab_index = pd.Index(b_terms.value)
         for pdf in batches:
-            out = tokenize_batch_kernel(pdf, vocab_index, text_col, False)
+            out = tokenize_batch_kernel(pdf, vocab_index, text_col,
+                                        with_positions, flat_positions=True)
             if out is not None:
                 yield pack_token_blobs(out, P)
 
@@ -468,17 +518,27 @@ def tokens_blobs(pages: DataFrame, vocab: Vocab, P: int,
 
 
 def rows_to_blobs(tokens: DataFrame, P: int) -> DataFrame:
-    """Generic TOKENS_SCHEMA rows -> blob rows (one extra Python hop;
-    used by callers whose token source is already a row DataFrame, e.g.
-    the merge path's decoded postings)."""
+    """Generic TOKENS_SCHEMA / TOKENS_POS_SCHEMA rows -> blob rows (one
+    extra Python hop; used by callers whose token source is already a row
+    DataFrame, e.g. the merge path's decoded postings — a positional
+    merge re-packs the per-posting pos slices into the flat v2 layout)."""
+    with_pos = "pos" in tokens.columns
 
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf):
-                yield pack_token_blobs(
-                    {c: pdf[c].to_numpy() for c in
-                     ("doc_id", "term_id", "tf", "dl")}, P
+            if not len(pdf):
+                continue
+            out = {c: pdf[c].to_numpy() for c in
+                   ("doc_id", "term_id", "tf", "dl")}
+            if with_pos:
+                bufs = [bytes(x) for x in pdf["pos"]]
+                out["pos_lens"] = np.fromiter(
+                    (len(x) for x in bufs), dtype=np.int64, count=len(bufs)
                 )
+                out["pos_stream"] = np.frombuffer(
+                    b"".join(bufs), dtype=np.uint8
+                )
+            yield pack_token_blobs(out, P)
 
     return tokens.mapInPandas(_pack, TOKEN_BLOBS_SCHEMA)
 
@@ -492,7 +552,7 @@ def blob_term_stats(staged: DataFrame) -> DataFrame:
         for pdf in batches:
             terms, dfs, cfs = [], [], []
             for blob in pdf["blob"]:
-                _, term, tf, _ = unpack_token_blob(bytes(blob))
+                _, term, tf, _, _, _ = unpack_token_blob(bytes(blob))
                 if term.size == 0:
                     continue
                 uniq, inv = np.unique(term, return_inverse=True)
@@ -562,15 +622,15 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
     salt_ns = np.array(
         [n for _, n in sorted(salt_items)], dtype=np.int64
     )
-
-    if staging_format == "blobs" and with_positions:
-        raise ValueError(
-            "staging_format='blobs' does not carry position payloads; "
-            "positional builds use staging_format='rows'"
-        )
+    # blobs + positions (r6): position runs stay ONE flat uint8 stream +
+    # per-run byte widths end to end (PTB2 pack -> vectorized gathers here
+    # -> block slicing inside encode_blocks) — no per-run bytes objects
+    flat_pos = staging_format == "blobs" and with_positions
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.dataset as pads
+
+        from pears_fruit_fly_spark.operators.codec import gather_byte_runs
 
         if staging_format == "blobs":
             cols = ["blob"]
@@ -587,9 +647,15 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
             salt/shard/keep logic is layout-agnostic)."""
             if staging_format == "blobs":
                 for cell in rb.column("blob"):
-                    d, t, tf_, dl_ = unpack_token_blob(cell.as_py())
-                    yield {"doc_id": d, "term_id": t.astype(np.int64),
+                    d, t, tf_, dl_, plens, pstream = unpack_token_blob(
+                        cell.as_py()
+                    )
+                    out = {"doc_id": d, "term_id": t.astype(np.int64),
                            "tf": tf_, "dl": dl_}
+                    if flat_pos:
+                        out["pos_lens"] = plens
+                        out["pos_stream"] = pstream
+                    yield out
             else:
                 out = {c: rb.column(c).to_numpy(zero_copy_only=False)
                        for c in cols}
@@ -641,8 +707,10 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
                 # stream the bucket batch-by-batch, applying salt + shard
                 # keep-mask per batch: peak task memory = kept rows + one
                 # Arrow batch, regardless of bucket size or shard count
-                data_cols = (["tf", "dl"] + (["pos"] if with_positions
-                                             else []))
+                data_cols = ["tf", "dl"]
+                if with_positions:
+                    data_cols += (["pos_lens", "pos_stream"] if flat_pos
+                                  else ["pos"])
                 kept: dict[str, list[np.ndarray]] = {
                     c: [] for c in ["doc_id", "term_id", *data_cols]
                 }
@@ -684,7 +752,19 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
                         kept["doc_id"].append(doc_b)
                         kept["term_id"].append(term_b)
                         kept["salt"].append(salt_b)
-                        for c in data_cols:
+                        if flat_pos:
+                            stream_b, lens_b = (cb["pos_stream"],
+                                                cb["pos_lens"])
+                            if keep is not None:
+                                stream_b, lens_b = gather_byte_runs(
+                                    stream_b, lens_b, np.flatnonzero(keep)
+                                )
+                            kept["pos_stream"].append(stream_b)
+                            kept["pos_lens"].append(lens_b)
+                        for c in ("tf", "dl", *(
+                            ["pos"] if (with_positions and not flat_pos)
+                            else []
+                        )):
                             arr = cb[c]
                             kept[c].append(arr[keep] if keep is not None
                                            else arr)
@@ -695,15 +775,27 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
                 tf = np.concatenate(kept["tf"])
                 dl = np.concatenate(kept["dl"])
                 salt = np.concatenate(kept["salt"])
-                pos = (np.concatenate(kept["pos"])
-                       if with_positions else None)
                 order = np.lexsort((doc, salt, term))
+                pos = pos_stream = pos_lens = pos_off = None
+                if with_positions and flat_pos:
+                    # ONE vectorized byte gather re-sorts every position
+                    # run into (term, salt, doc) order alongside the rows
+                    pos_stream, pos_lens = gather_byte_runs(
+                        np.concatenate(kept["pos_stream"])
+                        if kept["pos_stream"]
+                        else np.zeros(0, dtype=np.uint8),
+                        np.concatenate(kept["pos_lens"])
+                        if kept["pos_lens"]
+                        else np.zeros(0, dtype=np.int64),
+                        order,
+                    )
+                    pos_off = np.concatenate([[0], np.cumsum(pos_lens)])
+                elif with_positions:
+                    pos = np.concatenate(kept["pos"])[order]
                 doc, term, tf, dl, salt = (
                     doc[order], term[order], tf[order], dl[order],
                     salt[order],
                 )
-                if pos is not None:
-                    pos = pos[order]
                 change = np.flatnonzero(
                     (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
                 ) + 1
@@ -715,6 +807,12 @@ def _bucket_encoder(staging_dir: str, salt_items: list[tuple[int, int]],
                         doc[s:e], tf[s:e], dl[s:e], avgdl, bm25.k1,
                         bm25.b, block_size,
                         pos_bufs=pos[s:e] if pos is not None else None,
+                        pos_buf=(
+                            pos_stream[int(pos_off[s]) : int(pos_off[e])]
+                            if pos_stream is not None else None
+                        ),
+                        pos_lens=(pos_lens[s:e] if pos_lens is not None
+                                  else None),
                     )
                     rows = pd.DataFrame(blocks)
                     rows.insert(0, "salt", np.int32(salt[s]))
@@ -781,7 +879,8 @@ def build_postings(
         if resolve_staging_format(cfg) == "blobs":
             # fused tokenize + per-bucket pack in one Python eval
             return tokens_blobs(pages_with_ids, vocab, cfg.num_partitions,
-                                text_col)
+                                text_col,
+                                with_positions=cfg.store_positions)
         if cfg.jvm_tokenizer and not cfg.store_positions:
             return tokens_long_jvm(pages_with_ids, vocab, text_col)
         # positions need the full token stream — only the Arrow path has it
@@ -803,14 +902,14 @@ def build_postings(
 
 def resolve_staging_format(cfg: PostingsConfig) -> str:
     """"auto" (the default) -> "blobs" whenever the build can use it; the
-    packed format carries no positions and packs inside the Python
-    tokenize kernel, so positional or JVM-tokenized builds fall back to
-    row staging. Explicit values pass through (and are validated by
-    _check_staging_cfg: an explicit "blobs" + positions is an error,
-    not a silent fallback)."""
+    packed format packs inside the Python tokenize kernel, so JVM-tokenized
+    builds fall back to row staging. Positional builds use blobs too (r6:
+    the PTB2 layout carries the varbyte position runs as one flat stream
+    per blob — previously the per-(doc,term) row staging was the
+    positional build's dominant, non-scaling stage). Explicit values pass
+    through (validated by _check_staging_cfg)."""
     if cfg.staging_format == "auto":
-        return ("rows" if (cfg.store_positions or cfg.jvm_tokenizer)
-                else "blobs")
+        return "rows" if cfg.jvm_tokenizer else "blobs"
     return cfg.staging_format
 
 
@@ -822,17 +921,11 @@ def _check_staging_cfg(cfg: PostingsConfig) -> None:
             f"staging_format must be 'auto', 'rows' or 'blobs', "
             f"got {cfg.staging_format!r}"
         )
-    if cfg.staging_format == "blobs":
-        if cfg.store_positions:
-            raise ValueError(
-                "staging_format='blobs' does not carry position payloads; "
-                "positional builds use staging_format='rows'"
-            )
-        if cfg.jvm_tokenizer:
-            raise ValueError(
-                "staging_format='blobs' packs inside the Python tokenize "
-                "kernel and cannot combine with jvm_tokenizer=True"
-            )
+    if cfg.staging_format == "blobs" and cfg.jvm_tokenizer:
+        raise ValueError(
+            "staging_format='blobs' packs inside the Python tokenize "
+            "kernel and cannot combine with jvm_tokenizer=True"
+        )
 
 
 def _live_dir_for_build(index_dir: str) -> str:
@@ -1179,11 +1272,10 @@ def append_postings(
         flat_staging_max_docs=(cfg or PostingsConfig()).flat_staging_max_docs,
         encode_rows_per_task=(cfg or PostingsConfig()).encode_rows_per_task,
         staging_filesystem=(cfg or PostingsConfig()).staging_filesystem,
-        # the caller's choice passes through untouched: store_positions
-        # (inherited from the base, below) makes "auto" resolve to rows
-        # for positional bases via resolve_staging_format, and an explicit
-        # "blobs" on a positional base fails loud in _check_staging_cfg —
-        # same contract as a fresh build (ONE source of truth for the rule)
+        # the caller's choice passes through untouched and resolves via
+        # resolve_staging_format exactly like a fresh build (ONE source
+        # of truth for the rule); positional segments stage as blobs too
+        # (PTB2, r6)
         staging_format=(cfg or PostingsConfig()).staging_format,
         # segments inherit the base layout — a positional index stays
         # phrase-queryable across its merged-on-read view
@@ -1215,7 +1307,8 @@ def append_postings(
     def tokens_factory() -> DataFrame:
         if resolve_staging_format(seg_cfg) == "blobs":
             return tokens_blobs(new_pages_with_ids, vocab,
-                                seg_cfg.num_partitions, text_col)
+                                seg_cfg.num_partitions, text_col,
+                                with_positions=seg_cfg.store_positions)
         if seg_cfg.jvm_tokenizer and not seg_cfg.store_positions:
             return tokens_long_jvm(new_pages_with_ids, vocab, text_col)
         return tokens_long(new_pages_with_ids, vocab, text_col,
@@ -1384,9 +1477,10 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
         store_positions=bool(base.get("store_positions", False)),
         # a blob-built base merges through blob staging too (the decoded
         # rows re-pack in their decode worker, one extra in-worker hop —
-        # the merge exchange then moves blob rows, same as the build's).
-        # build info records the RESOLVED format (never "auto"), and a
-        # positional build always recorded "rows" — no re-derivation here
+        # the merge exchange then moves blob rows, same as the build's;
+        # positional rows re-pack their pos slices into PTB2, r6).
+        # build info records the RESOLVED format (never "auto") — a
+        # pre-r6 positional base recorded "rows" and keeps merging as rows
         staging_format=base.get("staging_format", "rows"),
     )
     decoded = _decoded_tokens_factory(spark, [live] + segs,

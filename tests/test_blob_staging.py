@@ -104,7 +104,8 @@ def test_blob_pack_unpack_roundtrip():
     # every bucket row unpacks to rows whose python-side bucket matches
     got = []
     for _, row in pdf.iterrows():
-        d, t, tf, dl = unpack_token_blob(row["blob"])
+        d, t, tf, dl, plens, pstream = unpack_token_blob(row["blob"])
+        assert plens is None and pstream is None  # tf-only -> PTB1
         assert len(d) == row["n"]
         b = term_buckets_py(t.astype(np.int64), P)
         assert (b == row["term_bucket"]).all()
@@ -136,10 +137,31 @@ def test_tokens_blobs_equals_tokens_long(spark, pages_ids, vocab):
     }
     got = {}
     for r in tokens_blobs(pages_ids, vocab, P).collect():
-        d, t, tf, dl = unpack_token_blob(bytes(r["blob"]))
+        d, t, tf, dl, _, _ = unpack_token_blob(bytes(r["blob"]))
         assert len(d) == r["n"]
         for i in range(len(d)):
             got[(int(d[i]), int(t[i]))] = (int(tf[i]), int(dl[i]))
+    assert got == want
+
+
+def test_tokens_blobs_positional_equals_tokens_long(spark, pages_ids, vocab):
+    """PTB2 blobs must carry the exact per-(doc, term) position streams of
+    the row path (same varbyte bytes, re-gathered into bucket order)."""
+    P = 8
+    want = {
+        (r["doc_id"], r["term_id"]): (r["tf"], r["dl"], bytes(r["pos"]))
+        for r in tokens_long(pages_ids, vocab, with_positions=True).collect()
+    }
+    got = {}
+    for r in tokens_blobs(pages_ids, vocab, P, with_positions=True).collect():
+        d, t, tf, dl, plens, pstream = unpack_token_blob(bytes(r["blob"]))
+        assert plens is not None and len(d) == r["n"]
+        off = np.concatenate([[0], np.cumsum(plens)])
+        buf = pstream.tobytes()
+        for i in range(len(d)):
+            got[(int(d[i]), int(t[i]))] = (
+                int(tf[i]), int(dl[i]), buf[int(off[i]) : int(off[i + 1])]
+            )
     assert got == want
 
 
@@ -153,6 +175,7 @@ def _postings_snapshot(spark, index_dir):
         blocks[key] = (
             r["n"], r["first_doc"], r["last_doc"],
             bytes(r["doc_gaps"]), bytes(r["tfs"]), bytes(r["dls"]),
+            bytes(r["positions"]) if r["positions"] is not None else None,
             r["max_tf"], round(r["max_impact"], 9),
         )
     stats = {
@@ -187,6 +210,28 @@ def test_blob_build_identical_to_rows(spark, twin_indexes):
     assert blob_snap[1] == rows_snap[1]  # term stats identical
 
 
+def test_blob_positional_build_identical_to_rows(spark, pages_ids, vocab,
+                                                 tmp_path_factory):
+    """A store_positions build staged through PTB2 blobs must be
+    byte-identical — including the positions stream of every block — to
+    the row-staged build (r6: positional blob staging)."""
+    snaps = {}
+    for fmt in ("rows", "blobs"):
+        d = str(tmp_path_factory.mktemp(f"posidx_{fmt}"))
+        cfg = PostingsConfig(
+            num_partitions=8, skew_df_threshold=50,
+            max_docs_per_subpartition=40, staging_format=fmt,
+            store_positions=True,
+        )
+        build_postings(spark, pages_ids, vocab, d, cfg=cfg)
+        assert mf.read_build_info(d)["staging_format"] == fmt
+        snaps[fmt] = _postings_snapshot(spark, d)
+    assert snaps["blobs"][0] == snaps["rows"][0]
+    assert snaps["blobs"][1] == snaps["rows"][1]
+    # sanity: positions actually present
+    assert any(v[6] for v in snaps["blobs"][0].values())
+
+
 def test_blob_build_info_records_format(spark, twin_indexes):
     assert mf.read_build_info(twin_indexes["blobs"])["staging_format"] == "blobs"
     assert mf.read_build_info(twin_indexes["rows"])["staging_format"] == "rows"
@@ -213,12 +258,13 @@ def test_blob_append_and_merge_identical(spark, pages_ids, vocab,
 
 # ------------------------------------------------------------ validation
 
-def test_blob_rejects_positions():
-    with pytest.raises(ValueError, match="position"):
-        from pears_fruit_fly_spark.operators.postings import _check_staging_cfg
-        _check_staging_cfg(
-            PostingsConfig(staging_format="blobs", store_positions=True)
-        )
+def test_blob_accepts_positions():
+    """r6: explicit blobs + store_positions is a supported combination
+    (PTB2 layout)."""
+    from pears_fruit_fly_spark.operators.postings import _check_staging_cfg
+    _check_staging_cfg(
+        PostingsConfig(staging_format="blobs", store_positions=True)
+    )
 
 
 def test_blob_rejects_jvm_tokenizer():
@@ -236,9 +282,10 @@ def test_bad_staging_format_rejected():
 
 
 def test_auto_resolution():
-    """The default "auto" picks blobs whenever the build can use it and
-    falls back to rows for positional / JVM-tokenized builds (explicit
-    "blobs" in those combinations errors instead — no silent fallback)."""
+    """The default "auto" picks blobs whenever the build can use it —
+    including positional builds (r6) — and falls back to rows only for
+    JVM-tokenized builds (explicit "blobs" there errors instead — no
+    silent fallback)."""
     from pears_fruit_fly_spark.operators.postings import (
         _check_staging_cfg,
         resolve_staging_format,
@@ -246,7 +293,7 @@ def test_auto_resolution():
     assert PostingsConfig().staging_format == "auto"
     assert resolve_staging_format(PostingsConfig()) == "blobs"
     assert resolve_staging_format(
-        PostingsConfig(store_positions=True)) == "rows"
+        PostingsConfig(store_positions=True)) == "blobs"
     assert resolve_staging_format(
         PostingsConfig(jvm_tokenizer=True)) == "rows"
     assert resolve_staging_format(
