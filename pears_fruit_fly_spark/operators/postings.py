@@ -56,7 +56,7 @@ from pears_fruit_fly_spark.operators.codec import encode_blocks
 from pears_fruit_fly_spark.plans import commitlog as cl
 from pears_fruit_fly_spark.plans import fsio
 from pears_fruit_fly_spark.plans import manifest as mf
-from pears_fruit_fly_spark.plans.salt import build_salt_plan
+from pears_fruit_fly_spark.plans.salt import build_salt_plan, n_salts_for_df
 
 TOKENS_SCHEMA = StructType(
     [
@@ -980,6 +980,7 @@ def _build_from_tokens(
     done = mf.completed_partitions(spark, index_dir)
     stage_s: dict[str, float] = {}
     bucket_rows_cache: dict[int, int] | None = None  # set on fresh builds
+    salt_items_cache: list[tuple[int, int]] | None = None  # ditto
     if not fsio.exists(os.path.join(index_dir, "_build_info.json")):
         # ---- stage 0-1: ONE tokenize pass -> staged tokens ----
         # Tokenization is the expensive scan; everything downstream
@@ -1043,15 +1044,35 @@ def _build_from_tokens(
         term_stats.write.mode("overwrite").parquet(stats_path)
         term_stats = spark.read.parquet(stats_path)
 
-        # ONE collect serves total_tokens AND the stage-3 bucket inventory
-        # (the per-bucket agg is P rows; summing it driver-side replaces a
-        # second scheduling round over the same tiny stats table)
-        _bucket_stats = term_stats.groupBy("term_bucket").agg(
-            F.sum("df").alias("rows"), F.sum("cf").alias("cf")
-        ).collect()
+        # ONE collect serves total_tokens, the stage-3 bucket inventory AND
+        # the salt plan (r6 — previously the per-bucket agg and the
+        # head-term salt plan were two separate ~0.4 s scheduling rounds
+        # over the same KB-sized stats parquet): a union of the P-row
+        # bucket agg with the head-term rows, tagged by a null term_id.
+        _bucket_stats_df = (
+            term_stats.groupBy("term_bucket")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .select(F.lit(None).cast("int").alias("term_id"),
+                    "term_bucket", "df", "cf")
+        )
+        _head_terms_df = (
+            term_stats.filter(F.col("df") > cfg.skew_df_threshold)
+            .select("term_id", "term_bucket", "df",
+                    F.lit(None).cast("long").alias("cf"))
+        )
+        _stats_rows = _bucket_stats_df.unionByName(_head_terms_df).collect()
+        _bucket_stats = [r for r in _stats_rows if r["term_id"] is None]
         bucket_rows_cache = {
-            int(r["term_bucket"]): int(r["rows"]) for r in _bucket_stats
+            int(r["term_bucket"]): int(r["df"]) for r in _bucket_stats
         }
+        salt_items_cache = sorted(
+            (
+                int(r["term_id"]),
+                n_salts_for_df(int(r["df"]), cfg.max_docs_per_subpartition),
+            )
+            for r in _stats_rows
+            if r["term_id"] is not None
+        )
         total_tokens = int(sum(int(r["cf"] or 0) for r in _bucket_stats))
         # avgdl floor guards the BM25 impact divisor for empty/degenerate
         # corpora (0-token builds produce an empty but valid index)
@@ -1107,13 +1128,20 @@ def _build_from_tokens(
     }
     # salt plan to the workers as a plain sorted list: skewed terms only
     # (df > threshold), so it is vocab-of-head-terms sized — the same
-    # thing the old broadcast-join shipped
-    salt_plan = build_salt_plan(
-        term_stats_df, info["skew_df_threshold"], cfg.max_docs_per_subpartition
-    )
-    salt_items = [
-        (int(r["term_id"]), int(r["n_salts"])) for r in salt_plan.collect()
-    ]
+    # thing the old broadcast-join shipped. Fresh builds reuse the fused
+    # stage-2 collect (n_salts_for_df == build_salt_plan's F.ceil: both
+    # are float64 division + ceil); resume recomputes from the parquet.
+    if salt_items_cache is not None:
+        salt_items = salt_items_cache
+    else:
+        salt_plan = build_salt_plan(
+            term_stats_df, info["skew_df_threshold"],
+            cfg.max_docs_per_subpartition,
+        )
+        salt_items = [
+            (int(r["term_id"]), int(r["n_salts"]))
+            for r in salt_plan.collect()
+        ]
     encode = _bucket_encoder(
         staging, salt_items, avgdl, BM25Config(info["k1"], info["b"]),
         info["block_size"], with_positions=with_pos,
@@ -1160,9 +1188,16 @@ def _encode_pending(
         for b in batch:
             n_shards = max(1, -(-rows_in.get(b, 0) // rows_per_task))
             specs.extend((b, s, n_shards) for s in range(n_shards))
+        # one task per spec WITHOUT an exchange: parallelize with explicit
+        # slices (the old LocalRelation + repartition paid a round-robin
+        # shuffle stage per encode batch just to spread 3-int rows)
         spec_df = spark.createDataFrame(
-            specs, "term_bucket int, shard int, n_shards int"
-        ).repartition(len(specs) or 1)
+            spark.sparkContext.parallelize(specs or [(0, 0, 0)],
+                                           numSlices=len(specs) or 1),
+            "term_bucket int, shard int, n_shards int",
+        )
+        if not specs:
+            spec_df = spec_df.filter(F.lit(False))
         encoded = (
             spec_df.mapInPandas(encode, POSTINGS_SCHEMA)
             .withColumn(

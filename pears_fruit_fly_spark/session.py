@@ -49,6 +49,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Driver-side file listing up to 256 dirs (default 32): the index
+        # keeps P=64-4096 term_bucket directories, and the default made
+        # EVERY staging/postings open schedule a "listing leaf files" Spark
+        # job (~0.3-0.6 s of pure scheduling for 64 local dirs). 256 keeps
+        # moderate trees on the driver; bigger-P production trees still get
+        # the distributed listing. Override via SPARK_GRAFT_LIST_THRESHOLD.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "256"),
+        )
     )
     # Shuffle/spill to tmpfs when available: this sandbox's disk does
     # ~650 MB/s shared across all tasks, which flatlines shuffle-heavy
