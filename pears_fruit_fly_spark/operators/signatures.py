@@ -70,7 +70,7 @@ def build_signatures(
     b_terms = sc.broadcast(list(vocab.terms))
     top_words, wta_percent = cfg.top_words, cfg.wta_percent
 
-    def _hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _hash_batches(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -81,13 +81,23 @@ def build_signatures(
         # bit-identical to the old dict map — r4: Arrow split+lookup on
         # contiguous buffers replaced pandas explode + Series.map, the
         # same kernel swap profiled 7x in postings.tokenize_batch_kernel
-        # (parity pinned by tests/test_signatures.py vs featurize_batch)
+        # (parity pinned by tests/test_signatures.py vs featurize_batch).
+        # r6: mapInArrow — texts stay Arrow buffers end to end (the
+        # mapInPandas form materialized every text as a Python str on the
+        # way in and re-encoded the output through pandas; measured ~25%
+        # of the stage)
         vocab_pa = pa.array(b_terms.value, type=pa.string())
         pn_size = proj.shape[1]
-        for pdf in batches:
-            n = len(pdf)
-            texts_pa = pa.array(
-                pdf[text_col].fillna("").astype(str), type=pa.string()
+        sig_words = proj.shape[0] // 64 + (1 if proj.shape[0] % 64 else 0)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            texts_pa = pc.fill_null(
+                rb.column(rb.schema.get_field_index(text_col)).cast(
+                    pa.string()
+                ),
+                "",
             )
             split = pc.split_pattern(
                 pc.replace_substring(texts_pa, "\n", " "), " "
@@ -110,16 +120,20 @@ def build_signatures(
             sigs, keywords = featurize_counts(
                 counts, weights, proj, top_words, wta_percent
             )
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"].values,
-                    "sig": [row.tolist() for row in sigs],
-                    "keywords": keywords,
-                    "doclen": doclen,
-                }
+            sig_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), type=pa.int64()), sig_words
+            ).cast(pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("url")),
+                    sig_arr,
+                    pa.array(keywords, type=pa.list_(pa.int32())),
+                    pa.array(doclen, type=pa.int64()),
+                ],
+                ["url", "sig", "keywords", "doclen"],
             )
 
-    return pages.select("url", text_col).mapInPandas(_hash_batches, SIGNATURE_SCHEMA)
+    return pages.select("url", text_col).mapInArrow(_hash_batches, SIGNATURE_SCHEMA)
 
 
 def featurize_query(text: str, vocab: Vocab, cfg: FlyConfig,

@@ -79,4 +79,38 @@ def get_spark(
         builder = builder.config("spark.sql.shuffle.partitions", str(max(8, 2 * n)))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_python_workers(spark)
+    return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Fork one reusable Python worker per core and import the numeric
+    stack in each, once per session (skip with SPARK_GRAFT_NO_WARMUP=1).
+
+    Local-mode sessions pay ~2-3 s of interpreter spin-up + numpy/pandas/
+    pyarrow imports in EVERY worker the first time a Python stage touches
+    it — a cluster amortizes this across the application lifetime (and
+    bench.py's own warm-up comment documents exactly that intent, but a
+    .limit() warm-up plans one partition and therefore warms ONE worker;
+    the other cores' workers then cold-start inside the first timed
+    stage). spark.python.worker.reuse (default true) keeps these workers
+    pooled for all later pandas/Arrow stages."""
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP") == "1":
+        return
+    if getattr(spark, "_pears_workers_warm", False):
+        return
+
+    def _imp(_i: int) -> int:
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        return 0
+
+    try:
+        n = 2 * (spark.sparkContext.defaultParallelism or 1)
+        spark.sparkContext.parallelize(range(n), n).map(_imp).count()
+        spark._pears_workers_warm = True
+    except Exception:
+        pass  # warm-up is best-effort; never block session creation
