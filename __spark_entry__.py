@@ -721,18 +721,22 @@ def q_minhash_rankdict(spark, sf_dir):
         return ids.groupBy("doc_id").agg(*aggs)
     rid_of = _rank_map_col(ranks)
     toks = tokens_array("text")
+    # materialize the distinct-rank array ONCE per doc (see q_simhash note)
     rids = F.transform(F.array_distinct(toks), lambda t: rid_of[t])
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.size(toks) > 0)
+        .select("doc_id", rids.alias("_rids"))
+    )
     cols = [
         F.array_min(
-            F.transform(rids, lambda r: F.pmod(r * a + b, F.lit(FP_MOD)))
+            F.transform(
+                F.col("_rids"), lambda r: F.pmod(r * a + b, F.lit(FP_MOD))
+            )
         ).alias(f"mh{j}")
         for j, (a, b) in enumerate(MINHASH_PARAMS)
     ]
-    return (
-        _docs(spark, sf_dir)
-        .filter(F.size(toks) > 0)
-        .select("doc_id", *cols)
-    )
+    return base.select("doc_id", *cols)
 
 
 def q_simhash_rankdict(spark, sf_dir):
@@ -771,11 +775,20 @@ def q_simhash_rankdict(spark, sf_dir):
         return sums.select("doc_id", fp.alias("simhash"))
     rid_of = _rank_map_col(ranks)
     toks = tokens_array("text")
+    # materialize the per-token hash array ONCE per doc: each of the 16
+    # bit-plane aggregates below references the projected column — inlining
+    # the transform would re-run the (linear-scan) map lookup 16x per token
     hs = F.transform(toks, lambda t: F.pmod(rid_of[t] * SIMHASH_MULT,
                                             F.lit(FP_MOD)))
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.size(toks) > 0)
+        .select("doc_id", hs.alias("_hs"))
+    )
+
     def bit_sum(i: int):
         return F.aggregate(
-            hs,
+            F.col("_hs"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
@@ -789,11 +802,7 @@ def q_simhash_rankdict(spark, sf_dir):
         )
         term = bit * F.lit(1 << i).cast("long")
         fp = term if fp is None else fp + term
-    return (
-        _docs(spark, sf_dir)
-        .filter(F.size(toks) > 0)
-        .select("doc_id", fp.alias("simhash"))
-    )
+    return base.select("doc_id", fp.alias("simhash"))
 
 
 def q_fingerprint(spark, sf_dir):
