@@ -37,16 +37,17 @@ def _varbyte_encode_arr(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     encoding)."""
     if v.size == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
-    # byte length per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
+    # byte length per value: ceil(bitlen/7), min 1 — computed as
+    # 1 + #{k : v >= 2^(7k)}: at most 9 vectorized compares with early
+    # exit on the array max (r6; the old per-bit shift loop walked up to
+    # 64 passes over the array and dominated the position-stream encode)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    vmax = int(v.max())
+    for k in range(1, _MAX_VARBYTE_WIDTH):
+        threshold = np.uint64(1) << np.uint64(7 * k)
+        if vmax < int(threshold):
             break
-        nbits[nz] += 1
-        tmp = tmp >> np.uint64(1)
-    nbytes = np.maximum(1, (nbits + 6) // 7)
+        nbytes += v >= threshold
     offsets = np.concatenate([[0], np.cumsum(nbytes)])
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     # fill byte position j of every value that has > j bytes

@@ -186,6 +186,28 @@ def tokenize_batch_kernel(
     asserted when the rewrite landed; the python-oracle pytest pins it).
     """
     import pyarrow as pa
+
+    if pdf.empty:
+        return None
+    texts = pa.array(pdf[text_col].fillna("").astype(str),
+                     type=pa.string())
+    doc_ids = pdf["doc_id"].to_numpy()
+    return tokenize_core(texts, doc_ids, vocab_index, with_positions,
+                         flat_positions)
+
+
+def tokenize_core(
+    texts,
+    doc_ids: np.ndarray,
+    vocab_index: pd.Index,
+    with_positions: bool = False,
+    flat_positions: bool = False,
+) -> dict | None:
+    """The Arrow-native tokenize core shared by the pandas wrapper above,
+    the mapInArrow blob path (tokens_blobs) and build_signatures' sibling
+    kernel. texts: a pyarrow string array (nulls allowed — treated as
+    empty); doc_ids: aligned numpy array."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     from pears_fruit_fly_spark.operators.codec import (
@@ -193,7 +215,8 @@ def tokenize_batch_kernel(
     )
 
     V = len(vocab_index)
-    if pdf.empty:
+    n_rows = len(texts)
+    if n_rows == 0:
         return None
     # vocab as an Arrow array, cached per vocab object (workers reuse the
     # same Index across every batch of the stage)
@@ -205,8 +228,7 @@ def tokenize_batch_kernel(
         _VOCAB_PA_CACHE[vkey] = (vocab_index, cached)
     else:
         cached = entry[1]
-    texts = pa.array(pdf[text_col].fillna("").astype(str),
-                     type=pa.string())
+    texts = pc.fill_null(texts, "")
     split = pc.split_pattern(
         pc.replace_substring(texts, "\n", " "), " "
     )
@@ -221,11 +243,11 @@ def tokenize_batch_kernel(
     mask = ids >= 0
     if not mask.any():
         return None
-    doc_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+    doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
     doc_sel = doc_idx[mask]
     id_sel = ids[mask]
     # dl = in-vocab token count per doc (BM25 dl statistic)
-    dl_per_doc = np.bincount(doc_sel, minlength=len(pdf))
+    dl_per_doc = np.bincount(doc_sel, minlength=n_rows)
     # tf per (doc, term) in one pass: composite int64 key. Counting via
     # bincount (O(n + batch_docs*V)) when the counter table is small
     # enough; np.unique's sort only as the huge-vocab fallback.
@@ -234,15 +256,15 @@ def tokenize_batch_kernel(
     # 1<<26 (512 MiB each) was a multi-GiB transient spike (ADVICE r4) —
     # np.unique is only modestly slower at the crossover size
     key = doc_sel * V + id_sel
-    if len(pdf) * V <= (1 << 24):
-        cnt = np.bincount(key, minlength=len(pdf) * V)
+    if n_rows * V <= (1 << 24):
+        cnt = np.bincount(key, minlength=n_rows * V)
         uniq = np.flatnonzero(cnt)
         counts = cnt[uniq]
     else:
         uniq, counts = np.unique(key, return_counts=True)
     out_doc_idx = uniq // V
     out = {
-        "doc_id": pdf["doc_id"].to_numpy()[out_doc_idx],
+        "doc_id": np.asarray(doc_ids)[out_doc_idx],
         "term_id": (uniq % V).astype(np.int32),
         "tf": counts.astype(np.int32),
         "dl": dl_per_doc[out_doc_idx].astype(np.int64),
@@ -503,16 +525,39 @@ def tokens_blobs(pages: DataFrame, vocab: Vocab, P: int,
     stream per blob (PTB2) — the positional build stages the same way."""
     spark = pages.sparkSession
     b_terms = spark.sparkContext.broadcast(list(vocab.terms))
+    blob_pa_schema = None
 
-    def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _tok(batches):
+        import pyarrow as pa
+
+        nonlocal blob_pa_schema
+        if blob_pa_schema is None:
+            blob_pa_schema = pa.schema(
+                [("term_bucket", pa.int32()), ("n", pa.int64()),
+                 ("blob", pa.binary())]
+            )
         vocab_index = pd.Index(b_terms.value)
-        for pdf in batches:
-            out = tokenize_batch_kernel(pdf, vocab_index, text_col,
-                                        with_positions, flat_positions=True)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            # mapInArrow (r6): texts reach the kernel as Arrow buffers —
+            # the mapInPandas form materialized every text as a Python
+            # str per batch on the way in
+            texts = rb.column(rb.schema.get_field_index(text_col)).cast(
+                pa.string()
+            )
+            doc_ids = rb.column(
+                rb.schema.get_field_index("doc_id")
+            ).to_numpy(zero_copy_only=False)
+            out = tokenize_core(texts, doc_ids, vocab_index,
+                                with_positions, flat_positions=True)
             if out is not None:
-                yield pack_token_blobs(out, P)
+                yield pa.RecordBatch.from_pandas(
+                    pack_token_blobs(out, P), schema=blob_pa_schema,
+                    preserve_index=False,
+                )
 
-    return pages.select("doc_id", text_col).mapInPandas(
+    return pages.select("doc_id", text_col).mapInArrow(
         _tok, TOKEN_BLOBS_SCHEMA
     )
 
@@ -1219,28 +1264,33 @@ def _encode_pending(
         stage_s["encode"] = stage_s.get("encode", 0.0) + (time.time() - tb)
         wall_ms = (time.time() - tb) * 1000 / max(1, len(batch))
         # rows_out from the parquet FOOTERS (driver-side metadata reads) —
-        # replaces a full re-scan job of the just-written postings (r3)
-        rows_out: dict[int, int] = {}
-        rows_mf = []
-        for b in batch:
+        # replaces a full re-scan job of the just-written postings (r3).
+        # A small thread pool overlaps the per-bucket listdir+footer I/O
+        # (r6: 64-4096 sequential metadata reads per batch are latency-
+        # bound, not CPU-bound — classic fan-out I/O)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _bucket_manifest(b: int):
             out_path = os.path.join(postings_dir, f"term_bucket={b}")
             bytes_out = 0
+            n_rows = 0
             for f in fsio.listdir(out_path):
                 if not f.endswith(".parquet"):
                     continue
                 fp = os.path.join(out_path, f)
                 bytes_out += fsio.getsize(fp)
-                rows_out[b] = rows_out.get(b, 0) + fsio.parquet_num_rows(fp)
-            rows_mf.append(
-                mf.manifest_row(
-                    partition_key=b,
-                    rows_in=rows_in.get(b, 0),
-                    rows_out=rows_out.get(b, 0),
-                    bytes_out=bytes_out,
-                    wall_ms=wall_ms,
-                    input_fingerprint=f"staging:{b}:rows={rows_in.get(b, 0)}",
-                )
+                n_rows += fsio.parquet_num_rows(fp)
+            return mf.manifest_row(
+                partition_key=b,
+                rows_in=rows_in.get(b, 0),
+                rows_out=n_rows,
+                bytes_out=bytes_out,
+                wall_ms=wall_ms,
+                input_fingerprint=f"staging:{b}:rows={rows_in.get(b, 0)}",
             )
+
+        with ThreadPoolExecutor(max_workers=min(16, len(batch) or 1)) as tp:
+            rows_mf = list(tp.map(_bucket_manifest, batch))
         mf.append_manifest_rows(spark, index_dir, rows_mf)
 
 
