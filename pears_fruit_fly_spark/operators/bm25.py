@@ -770,14 +770,25 @@ def bm25_topk_wand(
                                     candidates=cand, excluded=excl)
             return pd.DataFrame(top, columns=["doc_id", "score"])
 
+        # explicit numbered repartition on BOTH cogroup sides: a plain
+        # groupBy exchange here is AQE-coalescible, and a query's few MB
+        # of compressed blocks coalesce to ONE partition — serializing
+        # every range's Python WAND kernel into a single task (r6;
+        # measured 2-3x on query latency). REPARTITION_BY_NUM shuffles
+        # are exempt from coalescing, and n_ranges already scales with
+        # n_docs (_auto_ranges), so this stays right at any corpus size.
         local_topk = (
-            blocks.groupBy("range_id")
-            .cogroup(aux.groupBy("range_id"))
+            blocks.repartition(n_ranges, "range_id").groupBy("range_id")
+            .cogroup(
+                aux.repartition(n_ranges, "range_id").groupBy("range_id")
+            )
             .applyInPandas(_score_cogroup, SCORE_SCHEMA)
         )
     else:
-        local_topk = blocks.groupBy("range_id").applyInPandas(
-            _score_group, SCORE_SCHEMA
+        local_topk = (
+            blocks.repartition(n_ranges, "range_id")  # see cogroup note
+            .groupBy("range_id")
+            .applyInPandas(_score_group, SCORE_SCHEMA)
         )
     if probe_rows:
         local_topk = local_topk.unionByName(
@@ -994,9 +1005,13 @@ def bm25_topk_wand_batch(
             )
             return _score_group_inner(pdf, excl)
 
+        # numbered repartition: keep the scatter un-coalescible (see the
+        # single-query path note — AQE otherwise serializes the ranges)
         local = (
-            blocks.groupBy("range_id")
-            .cogroup(tomb.groupBy("range_id"))
+            blocks.repartition(n_ranges, "range_id").groupBy("range_id")
+            .cogroup(
+                tomb.repartition(n_ranges, "range_id").groupBy("range_id")
+            )
             .applyInPandas(_score_cogroup, BATCH_SCORE_SCHEMA)
         )
     else:
@@ -1004,8 +1019,10 @@ def bm25_topk_wand_batch(
         def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return _score_group_inner(pdf, b_excl.value)
 
-        local = blocks.groupBy("range_id").applyInPandas(
-            _score_group, BATCH_SCORE_SCHEMA
+        local = (
+            blocks.repartition(n_ranges, "range_id")
+            .groupBy("range_id")
+            .applyInPandas(_score_group, BATCH_SCORE_SCHEMA)
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

@@ -199,8 +199,14 @@ def phrase_match(
                 yield out
 
     # ONE exchange, volume = compressed position bytes; local sort clusters
-    # each doc's rows so the kernel sees complete docs
-    clustered = pairs.repartition("doc_id").sortWithinPartitions("doc_id")
+    # each doc's rows so the kernel sees complete docs. Numbered
+    # repartition (r6): the keyed form is AQE-coalescible and a phrase's
+    # few MB of position payloads coalesce to ONE partition, serializing
+    # the match kernel into a single task.
+    par = spark.sparkContext.defaultParallelism
+    clustered = pairs.repartition(par, "doc_id").sortWithinPartitions(
+        "doc_id"
+    )
     return clustered.mapInPandas(_match, MATCH_SCHEMA)
 
 
