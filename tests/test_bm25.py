@@ -171,6 +171,32 @@ def test_batch_wand_rank_identity(spark, corpus, vocab):
         _assert_rank_identical(got, want, f"batch{qid}")
 
 
+def test_batch_wand_chunked_equals_unchunked(spark, corpus, vocab):
+    """The bounded-memory query chunking (ADVICE r5 — cap gathered
+    postings per task) must be invisible in results: a pathologically
+    tiny budget that forces a chunk per query returns exactly the
+    default-budget rows."""
+    from pears_fruit_fly_spark.operators import bm25 as bm
+
+    queries = {qid: QUERIES.iloc[qid].query_text for qid in range(20)}
+    full = sorted(
+        map(tuple, bm.bm25_topk_wand_batch(
+            spark, corpus["dir"], queries, vocab, k=10, n_ranges=4
+        ).collect())
+    )
+    saved = bm._BATCH_GATHER_BUDGET
+    try:
+        bm._BATCH_GATHER_BUDGET = 100
+        tiny = sorted(
+            map(tuple, bm.bm25_topk_wand_batch(
+                spark, corpus["dir"], queries, vocab, k=10, n_ranges=4
+            ).collect())
+        )
+    finally:
+        bm._BATCH_GATHER_BUDGET = saved
+    assert tiny == full and len(full) > 0
+
+
 def test_batch_wand_all_oov(spark, corpus, vocab):
     from pears_fruit_fly_spark.operators.bm25 import bm25_topk_wand_batch
 

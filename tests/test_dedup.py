@@ -298,3 +298,32 @@ def test_embedding_cosine_cap_small_buckets_unaffected(spark, vecs):
                     vecs, "id", "v", 0.95, n_planes=6,
                     max_bucket=None).collect()}
     assert capped == uncapped
+
+
+def test_duplicate_clusters_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir switches every round to reliable checkpoint();
+    clusters must be byte-identical to the localCheckpoint path on the
+    long-chain convergence case, and superseded rounds' checkpoint files
+    must be cleaned up (VERDICT r5 #4 done-criterion)."""
+    import os
+
+    from pears_fruit_fly_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    local = {(r["id"], r["cluster_id"])
+             for r in duplicate_clusters(chain).collect()}
+    ckdir = str(tmp_path / "cc_ck")
+    reliable = {(r["id"], r["cluster_id"])
+                for r in duplicate_clusters(
+                    chain, checkpoint_dir=ckdir).collect()}
+    assert reliable == local
+    assert all(cid == 0 for _, cid in reliable)
+    # superseded rounds freed: only a handful of live checkpoint RDD dirs
+    # remain (the final labels + at most the last round's intermediates)
+    live = [
+        d for root, dirs, files in os.walk(ckdir) for d in dirs
+        if d.startswith("rdd-")
+    ]
+    assert len(live) <= 4, live

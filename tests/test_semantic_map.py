@@ -239,3 +239,57 @@ def test_seed_centroids_requires_enough_docs(spark, sigs_df):
     with pytest.raises(ValueError, match="exceeds corpus size"):
         build_semantic_map(spark, sigs_df, k=1000)
     assert len(seed_centroids(sigs_df, 5)) == 5
+
+
+def test_kernel_assignment_parity_with_literal(spark, sigs_df, sig_rows):
+    """The large-k NumPy kernel path must assign every doc exactly like
+    the literal-struct codegen path — same cluster, same distance, same
+    smallest-cid tie rule (VERDICT r5 #3 done-criterion)."""
+    from pears_fruit_fly_spark.operators.semantic_map import (
+        _assign_clusters_kernel,
+        assign_clusters,
+    )
+
+    cents = seed_centroids(sigs_df, 16)
+    lit = {
+        r["url"]: (r["cluster_id"], r["hamming"])
+        for r in assign_clusters(sigs_df, cents).collect()
+    }
+    ker = {
+        r["url"]: (r["cluster_id"], r["hamming"])
+        for r in _assign_clusters_kernel(sigs_df, cents, "url", "sig").collect()
+    }
+    assert ker == lit
+    # duplicated centroids: both paths must break the distance tie to the
+    # SMALLEST cluster id
+    dup = [(0, cents[0][1]), (1, cents[0][1]), (2, cents[1][1])]
+    lit_d = assign_clusters(sigs_df, dup).collect()
+    ker_d = _assign_clusters_kernel(sigs_df, dup, "url", "sig").collect()
+    assert {r["url"]: r["cluster_id"] for r in lit_d} == {
+        r["url"]: r["cluster_id"] for r in ker_d
+    }
+    assert not any(r["cluster_id"] == 1 for r in ker_d)
+
+
+def test_large_k_build_uses_kernel_and_matches_oracle(spark):
+    """A k=300 build (past ASSIGN_LITERAL_MAX_K) must run the kernel
+    assignment end to end and agree with the driver-side oracle."""
+    from pears_fruit_fly_spark.operators.semantic_map import (
+        ASSIGN_LITERAL_MAX_K,
+    )
+
+    assert 300 > ASSIGN_LITERAL_MAX_K
+    rng = np.random.default_rng(5)
+    rows = [
+        (f"d{i:04d}", [int(w) for w in
+                       rng.integers(0, 1 << 64, 2, dtype=np.uint64)
+                       .view(np.int64)])
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "url string, sig array<long>")
+    cents, assigned = build_semantic_map(spark, df, k=300, iters=1)
+    got = {r["url"]: (r["cluster_id"], r["hamming"])
+           for r in assigned.collect()}
+    want_c, want_a = _oracle_build(rows, k=300, iters=1, n_words=2)
+    assert {cid: w for cid, w in cents} == {cid: w for cid, w in want_c}
+    assert got == want_a
