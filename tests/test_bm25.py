@@ -399,3 +399,44 @@ def test_theta_probe_byte_budget_fallback(spark, vocab, tmp_path):
         theta_probe_max_bytes=8 << 20, instrument=inst_on).collect()]
     assert on == off
     assert inst_on["decoded_blocks"].value < inst_off["decoded_blocks"].value
+
+
+def test_wand_skewed_corpus_rank_identity(spark, vocab, tmp_path):
+    """VERDICT r5 #5: Zipf doc lengths (head docs ~50x the median) +
+    head-term queries — the adversarial case for even doc-id range
+    splitting — must stay rank-identical to the NumPy oracle."""
+    import numpy as np
+
+    from pears_fruit_fly_spark.fixtures.webtext import make_web_pages
+
+    pdf = make_web_pages(n=400, v=500, seed=77)
+    reps = np.maximum(
+        1, (30 / (1 + np.arange(len(pdf)) % 100) ** 0.7)
+    ).astype(int)
+    pdf["text"] = [
+        " ".join([t] * int(r)) if r > 1 else t
+        for t, r in zip(pdf["text"].str.slice(0, 500), reps)
+    ]
+    pages = spark.createDataFrame(pdf)
+    clean = dedup_latest(pages)
+    ids = assign_doc_ids(clean, "url")
+    pages_ids = clean.join(ids, "url").persist()
+    d = str(tmp_path / "skewidx")
+    build_postings(
+        spark, pages_ids, vocab, d,
+        cfg=PostingsConfig(num_partitions=8, skew_df_threshold=50,
+                           max_docs_per_subpartition=40),
+    )
+    oracle = BM25Oracle(
+        [(r["doc_id"], r["text"])
+         for r in pages_ids.select("doc_id", "text").collect()],
+        vocab,
+    )
+    for q in ("t0 t1", "t0 t2 t3", "t0 t1 t2 t3 t4"):
+        want = oracle.topk(q, 10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_wand(spark, d, q, vocab, k=10,
+                                    n_ranges=4).collect()
+        ]
+        _assert_rank_identical(got, want, f"skew:{q}")
