@@ -58,6 +58,13 @@ from pears_fruit_fly_spark.plans import fsio
 from pears_fruit_fly_spark.plans import manifest as mf
 from pears_fruit_fly_spark.plans.salt import build_salt_plan, n_salts_for_df
 
+# One driver thread for the concurrent corpus-fingerprint job of fresh
+# builds (guide §2.6 — overlap independent jobs): builds are sequential,
+# so a single shared worker suffices and its lifetime spans the process.
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_FP_EXECUTOR = _TPE(max_workers=1, thread_name_prefix="pears-fingerprint")
+
 TOKENS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -915,10 +922,17 @@ def build_postings(
     signature append is the incremental pods path (operators/pods.py).
     """
     _check_staging_cfg(cfg)
-    # ONE pass serves the fingerprint check, n_docs AND doc-id extrema (no
-    # separate count job — the fingerprint must not add an input scan)
-    fp_row = _corpus_fingerprint_row(pages_with_ids, text_col)
-    fingerprint = f"{int(fp_row['n'])}:{fp_row['h'] if fp_row['h'] is not None else 0}"
+    # ONE pass serves the fingerprint check, n_docs AND doc-id extrema —
+    # submitted on a driver thread so it runs CONCURRENTLY with the
+    # staging job of a fresh build (guide §2.6 overlap): both actions
+    # evaluate the caller's upstream lineage (typically a dedup window +
+    # id join over the full corpus), and running them back to back paid
+    # that subtree twice in sequence. _build_from_tokens joins the future
+    # exactly where the values are first needed (the resume fingerprint
+    # check, or the build-info write after staging).
+    fp_future = _FP_EXECUTOR.submit(
+        _corpus_fingerprint_row, pages_with_ids, text_col
+    )
 
     def tokens_factory() -> DataFrame:
         if resolve_staging_format(cfg) == "blobs":
@@ -933,11 +947,10 @@ def build_postings(
                            with_positions=cfg.store_positions)
 
     info = _build_from_tokens(
-        spark, tokens_factory, fingerprint,
-        n_docs=int(fp_row["n"]),
-        min_doc=fp_row["min_doc"], max_doc=fp_row["max_doc"],
+        spark, tokens_factory, None,
+        n_docs=None, min_doc=None, max_doc=None,
         vocab_size=vocab.size, index_dir=_live_dir_for_build(index_dir),
-        bm25=bm25, cfg=cfg,
+        bm25=bm25, cfg=cfg, fp_future=fp_future,
     )
     from pears_fruit_fly_spark.operators.bm25 import invalidate_index_cache
 
@@ -994,20 +1007,41 @@ def _live_dir_for_build(index_dir: str) -> str:
 def _build_from_tokens(
     spark: SparkSession,
     tokens_factory,
-    fingerprint: str,
-    n_docs: int,
+    fingerprint: str | None,
+    n_docs: int | None,
     min_doc,
     max_doc,
     vocab_size: int,
     index_dir: str,
     bm25: BM25Config,
     cfg: PostingsConfig,
+    fp_future=None,
 ) -> dict:
     """Stages 0-3 of the build from a long-format token source (callable so
     the resume path never constructs the tokenize plan). Shared by
     build_postings (tokens from pages) and merge_segments (tokens decoded
-    from existing segment postings — the multi-way posting merge)."""
+    from existing segment postings — the multi-way posting merge).
+
+    fp_future (r6): a Future resolving to the corpus-fingerprint row —
+    when given, the eager fingerprint/n_docs/min_doc/max_doc args are
+    None and the future is joined only where the values are first needed
+    (the resume check, or the build-info write AFTER staging), so the
+    fingerprint job runs concurrently with the staging job. A deferred
+    fresh build writes the partitioned staging layout unconditionally
+    (the flat small-corpus layout needed n_docs up front; measured
+    equivalent for blob staging at the sizes flat targeted)."""
     t0 = time.time()
+
+    def _fp_values():
+        nonlocal fingerprint, n_docs, min_doc, max_doc
+        if fingerprint is None:
+            row = fp_future.result()
+            fingerprint = (
+                f"{int(row['n'])}:{row['h'] if row['h'] is not None else 0}"
+            )
+            n_docs = int(row["n"])
+            min_doc, max_doc = row["min_doc"], row["max_doc"]
+        return fingerprint, n_docs, min_doc, max_doc
     fsio.makedirs(index_dir)
     staging = os.path.join(index_dir, "_staging_tokens")
     # the postings subdir is pointer-versioned from birth so compaction can
@@ -1042,7 +1076,13 @@ def _build_from_tokens(
         bucketed = tokens if blob_staging else tokens.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term_id"), F.lit(P)).cast("int")
         )
-        flat_staging = n_docs <= cfg.flat_staging_max_docs
+        # deferred fingerprint (fp_future still in flight): n_docs is
+        # unknown at layout time — take the partitioned layout, which is
+        # measured equivalent at flat's target sizes under blob staging
+        flat_staging = (
+            fingerprint is not None
+            and n_docs <= cfg.flat_staging_max_docs
+        )
         if flat_staging:
             # small corpus/segment: the P-directory layout costs more in
             # commit overhead than it saves — write a few plain files with
@@ -1119,6 +1159,9 @@ def _build_from_tokens(
             if r["term_id"] is not None
         )
         total_tokens = int(sum(int(r["cf"] or 0) for r in _bucket_stats))
+        # join the concurrent fingerprint job here at the latest — its
+        # values go into build_info below
+        fingerprint, n_docs, min_doc, max_doc = _fp_values()
         # avgdl floor guards the BM25 impact divisor for empty/degenerate
         # corpora (0-token builds produce an empty but valid index)
         avgdl = max(1e-9, total_tokens / max(1, n_docs))
@@ -1143,6 +1186,7 @@ def _build_from_tokens(
         mf.write_build_info(index_dir, info)
     else:
         info = mf.read_build_info(index_dir)
+        fingerprint = _fp_values()[0]
         recorded = info.get("corpus_fingerprint")
         if recorded is not None and recorded != fingerprint:
             raise ValueError(
