@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -97,11 +98,19 @@ STAGED_TOKENS_POS_SCHEMA = StructType(
 # while moving the same token bytes.
 TOKEN_BLOB_MAGIC = b"PTB1"
 TOKEN_BLOB_MAGIC_POS = b"PTB2"  # v2: + per-run position byte widths/stream
+# stats_* (r6): per-blob term-stats PARTIALS (distinct term ids with
+# their within-blob df/cf) ride as plain array columns next to the
+# packed blob. Stage-2 term stats then read ONLY these pruned columns
+# with a JVM explode+agg — the previous shape re-read and unpacked every
+# blob's full token payload in a Python pass just to count terms.
 TOKEN_BLOBS_SCHEMA = StructType(
     [
         StructField("term_bucket", IntegerType()),
         StructField("n", LongType()),
         StructField("blob", BinaryType()),
+        StructField("stats_terms", ArrayType(IntegerType())),
+        StructField("stats_dfs", ArrayType(IntegerType())),
+        StructField("stats_cfs", ArrayType(LongType())),
     ]
 )
 
@@ -468,6 +477,7 @@ def pack_token_blobs(out: dict, P: int) -> pd.DataFrame:
     )
     ends = np.append(starts[1:], b_sorted.size)
     buckets, ns, blobs = [], [], []
+    st_terms, st_dfs, st_cfs = [], [], []
     for s, e in zip(starts, ends):
         n = int(e - s)
         parts = [
@@ -486,10 +496,22 @@ def pack_token_blobs(out: dict, P: int) -> pd.DataFrame:
         buckets.append(int(b_sorted[s]))
         ns.append(n)
         blobs.append(b"".join(parts))
+        # per-blob term-stats partials (see TOKEN_BLOBS_SCHEMA note)
+        uniq, inv = np.unique(term[s:e], return_inverse=True)
+        st_terms.append(uniq.astype(np.int32).tolist())
+        st_dfs.append(np.bincount(inv, minlength=uniq.size)
+                      .astype(np.int32).tolist())
+        st_cfs.append(
+            np.bincount(inv, weights=tf[s:e].astype(np.float64),
+                        minlength=uniq.size).astype(np.int64).tolist()
+        )
     return pd.DataFrame(
         {"term_bucket": np.asarray(buckets, dtype=np.int32),
          "n": np.asarray(ns, dtype=np.int64),
-         "blob": blobs}
+         "blob": blobs,
+         "stats_terms": st_terms,
+         "stats_dfs": st_dfs,
+         "stats_cfs": st_cfs}
     )
 
 
@@ -541,7 +563,10 @@ def tokens_blobs(pages: DataFrame, vocab: Vocab, P: int,
         if blob_pa_schema is None:
             blob_pa_schema = pa.schema(
                 [("term_bucket", pa.int32()), ("n", pa.int64()),
-                 ("blob", pa.binary())]
+                 ("blob", pa.binary()),
+                 ("stats_terms", pa.list_(pa.int32())),
+                 ("stats_dfs", pa.list_(pa.int32())),
+                 ("stats_cfs", pa.list_(pa.int64()))]
             )
         vocab_index = pd.Index(b_terms.value)
         for rb in batches:
@@ -596,34 +621,24 @@ def rows_to_blobs(tokens: DataFrame, P: int) -> DataFrame:
 
 
 def blob_term_stats(staged: DataFrame) -> DataFrame:
-    """(term_id, df, cf) from staged blob rows: per-blob partials via one
-    bincount inside the Python worker, summed by a (tiny) JVM agg — the
-    rows crossing the boundary are unique-terms-per-blob, not tokens."""
+    """(term_id, df, cf) from staged blob rows.
 
-    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            terms, dfs, cfs = [], [], []
-            for blob in pdf["blob"]:
-                _, term, tf, _, _, _ = unpack_token_blob(bytes(blob))
-                if term.size == 0:
-                    continue
-                uniq, inv = np.unique(term, return_inverse=True)
-                terms.append(uniq.astype(np.int32))
-                dfs.append(np.bincount(inv, minlength=uniq.size))
-                cfs.append(np.bincount(inv, weights=tf.astype(np.float64),
-                                       minlength=uniq.size))
-            if not terms:
-                continue
-            yield pd.DataFrame(
-                {"term_id": np.concatenate(terms),
-                 "df": np.concatenate(dfs).astype(np.int64),
-                 "cf": np.concatenate(cfs).astype(np.int64)}
-            )
-
-    partial = staged.select("blob").mapInPandas(
-        _stats, "term_id int, df long, cf long"
+    The per-blob partials were computed at PACK time and ride as plain
+    array columns (TOKEN_BLOBS_SCHEMA), so this is a pure-JVM
+    explode+agg that reads ONLY the pruned stats columns — the packed
+    blob payload (the bulk of the staging bytes) never leaves parquet
+    (r6; the previous shape unpacked every blob in a Python pass just to
+    recount terms it had already counted once)."""
+    z = staged.select(
+        F.explode(
+            F.arrays_zip("stats_terms", "stats_dfs", "stats_cfs")
+        ).alias("z")
+    ).select(
+        F.col("z.stats_terms").alias("term_id"),
+        F.col("z.stats_dfs").cast("long").alias("df"),
+        F.col("z.stats_cfs").alias("cf"),
     )
-    return partial.groupBy("term_id").agg(
+    return z.groupBy("term_id").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
 
