@@ -316,10 +316,10 @@ def _docs_with_terms(
                 "term_id": pdf["term_id"].to_numpy()[rix].astype(np.int32),
             })
 
-    pairs = blocks.mapInPandas(
-        _ids, "doc_id long, term_id int"
-    ).dropDuplicates(["doc_id", "term_id"])
+    pairs = blocks.mapInPandas(_ids, "doc_id long, term_id int")
     if require_all:
+        # countDistinct dedups (doc,term) repeats across blocks/segments
+        # itself — no pre-dedup exchange needed
         n = len(set(term_ids) & set(found))
         return (
             pairs.groupBy("doc_id")
@@ -328,6 +328,85 @@ def _docs_with_terms(
             .select("doc_id")
         )
     return pairs.select("doc_id").distinct()
+
+
+def _fused_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    must_ids: list[int],
+    not_ids: list[int],
+    any_ids: list[int],
+) -> DataFrame | None:
+    """Candidate doc_ids for (ALL must) / (ANY any, when no must) minus
+    (ANY not) in ONE partition-pruned decode scan + ONE aggregate.
+
+    Each term gets a bit; per doc a single bit_or collapses duplicate
+    (doc, term) rows across blocks/segments, then a codegen'd mask test
+    replaces the separate intersect aggregate, exclude-distinct and
+    left_anti join of the unfused form (guide §2.4 — 3 exchanges → 1).
+    Returns None when the caller should take the unfused path (mask baked
+    for ≤60 required/optional terms; exclusion terms all share one bit)."""
+    req = sorted(set(must_ids))
+    opt = [] if req else sorted(set(any_ids))
+    if len(req) + len(opt) > 60:
+        return None
+    excl = sorted(set(not_ids) - set(req) - set(opt))
+
+    info, postings, term_stats, driver_stats, *_ = open_index(spark, index_dir)
+    all_ids = sorted(set(req) | set(opt) | set(excl))
+    if driver_stats is not None:
+        found = {t: driver_stats[t][1] for t in all_ids if t in driver_stats}
+    else:
+        found = {
+            int(r["term_id"]): int(r["term_bucket"])
+            for r in term_stats.filter(F.col("term_id").isin(all_ids))
+            .select("term_id", "term_bucket").collect()
+        }
+    empty = spark.createDataFrame([], "doc_id long")
+    if req and any(t not in found for t in req):
+        return empty  # a must-term with no postings matches nothing
+    if not req and not any(t in found for t in opt):
+        return empty  # no universe to subtract from
+    buckets = sorted({found[t] for t in all_ids if t in found})
+    scan_ids = [t for t in all_ids if t in found]
+    blocks = postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term_id").isin(scan_ids)
+    ).select("term_id", "n", "first_doc", "tfs", "doc_gaps", "dls")
+
+    def _ids(batches):
+        from pears_fruit_fly_spark.operators.codec import decode_blocks_batch
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, _, _, rix = decode_blocks_batch(
+                pdf["n"].to_numpy(), pdf["first_doc"].to_numpy(),
+                pdf["doc_gaps"], pdf["tfs"], pdf["dls"],
+            )
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "term_id": pdf["term_id"].to_numpy()[rix].astype(np.int32),
+            })
+
+    pairs = blocks.mapInPandas(_ids, "doc_id long, term_id int")
+    keep = req if req else opt
+    bit = None
+    for i, t in enumerate(keep):
+        clause = F.when(F.col("term_id") == t, F.lit(1 << i))
+        bit = clause if bit is None else bit.when(F.col("term_id") == t,
+                                                 F.lit(1 << i))
+    excl_bit = 1 << 62
+    for t in excl:
+        bit = bit.when(F.col("term_id") == t, F.lit(excl_bit))
+    bit = bit.otherwise(F.lit(0))
+    agg = pairs.groupBy("doc_id").agg(F.bit_or(bit).alias("m"))
+    if req:
+        want = (1 << len(req)) - 1
+        cond = (F.col("m").bitwiseAND(F.lit(want)) == want)
+    else:
+        cond = (F.col("m").bitwiseAND(F.lit((1 << len(opt)) - 1)) != 0)
+    cond = cond & (F.col("m").bitwiseAND(F.lit(excl_bit)) == 0)
+    return agg.filter(cond).select("doc_id")
 
 
 def search_boolean(
@@ -365,9 +444,17 @@ def search_boolean(
     not_ids = [t for t in (tid(x) for x in must_not) if t is not None]
 
     cand: DataFrame | None = None
+    fused_not = False  # True when the NOT-terms rode inside the fused agg
     if must_ids:
-        cand = _docs_with_terms(spark, index_dir, must_ids, require_all=True)
+        cand = _fused_candidates(spark, index_dir, must_ids, not_ids, [])
+        if cand is not None:
+            fused_not = True
+        else:  # >60 must terms: unfused fallback
+            cand = _docs_with_terms(spark, index_dir, must_ids,
+                                    require_all=True)
     for p in phrases:
+        # excluding NOT-docs before vs after the phrase intersect is
+        # equivalent: (A \ E) ∩ P == (A ∩ P) \ E
         pm = phrase_match(spark, index_dir, p, vocab).select("doc_id")
         cand = pm if cand is None else cand.join(pm, "doc_id")
     if (not_ids or not_phrases) and cand is None:
@@ -377,10 +464,16 @@ def search_boolean(
                    if t is not None]
         if not scoring:
             return empty
-        cand = _docs_with_terms(spark, index_dir, scoring, require_all=False)
-        if cand is None:
-            return empty
-    if not_ids:
+        fc = _fused_candidates(spark, index_dir, [], not_ids, scoring)
+        if fc is not None:
+            cand = fc
+            fused_not = True
+        else:
+            cand = _docs_with_terms(spark, index_dir, scoring,
+                                    require_all=False)
+            if cand is None:
+                return empty
+    if not_ids and not fused_not:
         exclude = _docs_with_terms(spark, index_dir, not_ids, require_all=False)
         if exclude is not None:
             cand = cand.join(exclude, "doc_id", "left_anti")
