@@ -311,3 +311,47 @@ def test_wand_ignores_positions_column(spark, vocab, pos_index):
     assert "positions" not in plan.split("Exchange")[1][:2000]
     assert got  # non-empty, deterministic
 
+
+
+def test_fused_candidates_match_unfused(spark, vocab, pos_index):
+    """The r6 bit-mask candidate aggregate must produce exactly the set the
+    unfused intersect/distinct/anti-join composition produced, for every
+    clause shape it fuses (must-only, must+not, any+not, missing terms)."""
+    from pears_fruit_fly_spark.operators.phrase import (
+        _docs_with_terms,
+        _fused_candidates,
+    )
+
+    t = {f"t{i}": vocab.term_to_id[f"t{i}"] for i in range(10)}
+
+    def unfused(must, nots, anys):
+        if must:
+            cand = _docs_with_terms(spark, pos_index, must, require_all=True)
+        else:
+            cand = _docs_with_terms(spark, pos_index, anys, require_all=False)
+            if cand is None:
+                return set()
+        if nots:
+            excl = _docs_with_terms(spark, pos_index, nots, require_all=False)
+            if excl is not None:
+                cand = cand.join(excl, "doc_id", "left_anti")
+        return {r["doc_id"] for r in cand.collect()}
+
+    cases = [
+        ([t["t1"], t["t2"]], [], []),                 # must only
+        ([t["t1"], t["t2"]], [t["t9"]], []),          # must + not
+        ([t["t1"]], [t["t3"], t["t9"]], []),          # must + 2 nots
+        ([], [t["t3"]], [t["t2"], t["t5"]]),          # any-universe + not
+        ([], [], [t["t2"]]),                          # any only
+        ([t["t1"], 999999], [], []),                  # missing must term
+        ([], [t["t9"]], [999999]),                    # missing any universe
+    ]
+    for must, nots, anys in cases:
+        fused = _fused_candidates(spark, pos_index, must, nots, anys)
+        assert fused is not None, (must, nots, anys)
+        got = {r["doc_id"] for r in fused.collect()}
+        assert got == unfused(must, nots, anys), (must, nots, anys)
+
+    # past the 60-bit mask budget the fused path declines and
+    # search_boolean takes the unfused fallback — same results either way
+    assert _fused_candidates(spark, pos_index, list(range(61)), [], []) is None
